@@ -1,0 +1,31 @@
+"""gpr_tpu — TPU-native Gaussian Process inference engine.
+
+A from-scratch JAX/XLA/Pallas rebuild of the full capability surface of the
+reference C++ library agiger/GPR (see SURVEY.md): composable kernels with
+hyperparameter gradients, exact and sparse (inducing-point) GP regression,
+Gaussian (log-)likelihoods, prior densities, MAP/MLE and HMC/NUTS
+hyperparameter inference, PCA + autoregressive feature pipelines, and
+train/predict CLI apps — designed TPU-first (MXU Gram construction, Cholesky
+solves, pjit/shard_map scale-out) rather than as a port.
+"""
+
+from .kernels.kernels import (  # noqa: F401
+    Gaussian,
+    GaussianExp,
+    Kernel,
+    Periodic,
+    Product,
+    RationalQuadratic,
+    Sum,
+    White,
+    gram,
+    gram_derivative,
+    kvec,
+    params_vector,
+)
+from .kernels.dsl import kernel_to_string, parse_kernel  # noqa: F401
+from .gp.exact import GP, fit, load  # noqa: F401
+from .gp import likelihood  # noqa: F401
+from .utils import config  # noqa: F401
+
+__version__ = "0.1.0"

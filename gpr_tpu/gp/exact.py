@@ -1,0 +1,324 @@
+"""Exact multivariate GP regression, TPU-native.
+
+Functional re-design of the reference ``gpr::GaussianProcess``
+(reference include/GaussianProcess.h:33-328, lib/GaussianProcess.cpp).  The
+reference mutates a stateful object (AddSample -> Initialize -> Predict) and
+*explicitly inverts* the Gram matrix (lib/GaussianProcess.cpp:530-618).  Here
+training is one pure jittable function producing an immutable ``GP`` pytree,
+and all solves go through a Cholesky factor — numerically tighter and MXU
+friendly.  The explicit inverse (CoreMatrix) exists only as a save/load
+artifact for byte-level compatibility with the reference model format.
+
+Mapping to the reference API:
+
+    reference                                   here
+    ---------------------------------------     -------------------------
+    AddSample + Initialize                      fit(kernel, X, Y, sigma)
+    Predict(x)                                  gp.predict(x)
+    PredictDerivative(x, D)                     gp.predict_derivative(x)
+    operator()(x, y)   (posterior cov)          gp.posterior_cov(x, y)
+    GetCredibleInterval(x)                      gp.credible_interval(x)
+    Save(prefix) / Load(prefix)                 gp.save(prefix) / load(prefix)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import tree_util
+
+from ..kernels import kernels as kermod
+from ..kernels.dsl import kernel_to_string, parse_kernel
+from ..ops import linalg
+from ..utils import matrixio
+
+
+@dataclasses.dataclass(frozen=True)
+class GP:
+    """Trained exact GP (immutable pytree).
+
+    Fields:
+      kernel  kernel pytree
+      X       (n, d) training inputs   (reference m_SampleVectors, columns)
+      Y       (n, q) training labels   (reference m_LabelVectors, columns)
+      sigma   observation noise std    (reference m_Sigma)
+      alpha   (n, q) regression vectors = (K + sigma^2 I)^-1 Y
+              (reference m_RegressionVectors)
+      L       (n, n) Cholesky factor of K + sigma^2 I; None in
+              efficient-storage mode (reference m_EfficientStorage drops the
+              CoreMatrix, GaussianProcess.h:150-156)
+    """
+
+    kernel: Any
+    X: jax.Array
+    Y: jax.Array
+    sigma: Any
+    alpha: jax.Array
+    L: Optional[jax.Array]
+
+    # --- prediction --------------------------------------------------------
+    def predict(self, Xs) -> jax.Array:
+        """Posterior mean.  Accepts one point (d,) -> (q,), or a batch
+        (m, d) -> (m, q).  (reference lib/GaussianProcess.cpp:53-61)"""
+        Xs_arr = jnp.asarray(Xs)
+        single = Xs_arr.ndim <= 1 and self.X.shape[1] >= 1
+        Xs2 = self._check_input(Xs_arr)
+        Ks = kermod.gram(self.kernel, Xs2, self.X)  # (m, n)
+        mean = Ks @ self.alpha
+        return mean[0] if single else mean
+
+    def predict_derivative(self, x):
+        """(mean, D) where D[i, j] = d mean_j / d x_i — exact Jacobian of the
+        posterior mean via forward-mode autodiff.  Generalizes the
+        reference's RBF-specific formula (lib/GaussianProcess.cpp:63-81,
+        which hardcodes D.col(i) = -X^T (Kx ⊙ alpha_i), valid for unit-sigma
+        Gaussian kernels only — cf. tests/GaussianProcessTest.cpp:238-279)."""
+        x = jnp.atleast_1d(jnp.asarray(x))
+        mean = self.predict(x)
+        J = jax.jacfwd(lambda v: self.predict(v))(x)  # (q, d)
+        return mean, J.T  # (d, q) like the reference's D
+
+    def posterior_cov(self, x, y) -> jax.Array:
+        """gp(x, y) = k(x,y) - Kx^T (K + sigma^2 I)^-1 Ky
+        (reference lib/GaussianProcess.cpp:83-99)."""
+        L = self._require_core()
+        Kx = kermod.kvec(self.kernel, self.X, x)
+        Ky = kermod.kvec(self.kernel, self.X, y)
+        return self.kernel(jnp.atleast_1d(x), jnp.atleast_1d(y)) - Kx @ linalg.cho_solve(
+            L, Ky
+        )
+
+    def posterior_var(self, Xs) -> jax.Array:
+        """Batched diagonal posterior variance at points Xs (m, d) -> (m,)."""
+        L = self._require_core()
+        Xs2 = self._check_input(jnp.asarray(Xs))
+        Ks = kermod.gram(self.kernel, Xs2, self.X)  # (m, n)
+        kss = jax.vmap(lambda v: self.kernel(v, v))(Xs2)
+        solved = linalg.cho_solve(L, Ks.T)  # (n, m)
+        return kss - jnp.sum(Ks * solved.T, axis=-1)
+
+    def credible_interval(self, x) -> jax.Array:
+        """2 sqrt(max(0, gp(x,x))) with the reference's negative-variance
+        clamp (lib/GaussianProcess.cpp:101-114)."""
+        x = jnp.asarray(x)
+        if x.ndim <= 1:
+            c = self.posterior_cov(x, x)
+            return 2.0 * jnp.sqrt(jnp.maximum(0.0, c))
+        var = self.posterior_var(x)
+        return 2.0 * jnp.sqrt(jnp.maximum(0.0, var))
+
+    def sample_posterior(self, key, Xs, num_samples: int = 1, jitter: float = 1e-10):
+        """Draw functions from the posterior at points Xs — the capability
+        exercised by reference tests/PosteriorProcessTest.cpp:97-165 (which
+        eigendecomposes the posterior covariance)."""
+        Xs2 = self._check_input(jnp.asarray(Xs))
+        mean = self.predict(Xs2)  # (m, q)
+        L = self._require_core()
+        Ks = kermod.gram(self.kernel, Xs2, self.X)
+        Kss = kermod.gram(self.kernel, Xs2)
+        cov = Kss - Ks @ linalg.cho_solve(L, Ks.T)
+        cov = 0.5 * (cov + cov.T)
+        Lc, _ = linalg.safe_cholesky(cov, initial_jitter=jitter)
+        eps = jax.random.normal(key, (num_samples, Xs2.shape[0], mean.shape[1]), mean.dtype)
+        return mean[None] + jnp.einsum("ij,sjq->siq", Lc, eps)
+
+    # --- internals ----------------------------------------------------------
+    def _check_input(self, x: jax.Array) -> jax.Array:
+        x = jnp.atleast_1d(x)
+        if x.ndim == 1:
+            if x.shape[0] != self.X.shape[1]:
+                raise ValueError(
+                    f"GaussianProcess::Predict: dimension of input vector "
+                    f"({x.shape[0]}) does not correspond to the input "
+                    f"dimension ({self.X.shape[1]})."
+                )
+            x = x[None, :]
+        elif x.shape[-1] != self.X.shape[1]:
+            raise ValueError(
+                f"GaussianProcess::Predict: dimension of input vector "
+                f"({x.shape[-1]}) does not correspond to the input dimension "
+                f"({self.X.shape[1]})."
+            )
+        return x
+
+    def _require_core(self) -> jax.Array:
+        """Recompute the Cholesky factor if it was dropped (efficient-storage
+        mode; reference recomputes the CoreMatrix lazily,
+        lib/GaussianProcess.cpp:95-97)."""
+        if self.L is not None:
+            return self.L
+        K = kermod.gram(self.kernel, self.X)
+        K = linalg.add_diagonal(K, jnp.asarray(self.sigma) ** 2)
+        L, _ = linalg.safe_cholesky(K)
+        return L
+
+    @property
+    def num_samples(self) -> int:
+        return self.X.shape[0]
+
+    @property
+    def input_dim(self) -> int:
+        return self.X.shape[1]
+
+    @property
+    def output_dim(self) -> int:
+        return self.Y.shape[1]
+
+    # --- persistence --------------------------------------------------------
+    def save(self, prefix: str) -> None:
+        """Write the reference's 5-file artifact set
+        (lib/GaussianProcess.cpp:133-180):
+          {prefix}-RegressionVectors.txt   (n x q)
+          {prefix}-CoreMatrix.txt          (n x n explicit inverse; 0x0 in
+                                            efficient-storage mode)
+          {prefix}-SampleVectors.txt       (d x n — column-major samples)
+          {prefix}-LabelVectors.txt        (q x n)
+          {prefix}-ParameterFile.txt       sigma dims flags + kernel string
+        """
+        import numpy as np
+
+        matrixio.write_matrix(np.asarray(self.alpha), prefix + "-RegressionVectors.txt")
+        if self.L is None:
+            core = np.zeros((0, 0))
+        else:
+            eye = jnp.eye(self.L.shape[0], dtype=self.L.dtype)
+            core = np.asarray(linalg.cho_solve(self.L, eye))
+        matrixio.write_matrix(core, prefix + "-CoreMatrix.txt")
+        matrixio.write_matrix(np.asarray(self.X).T, prefix + "-SampleVectors.txt")
+        matrixio.write_matrix(np.asarray(self.Y).T, prefix + "-LabelVectors.txt")
+        efficient = 1 if self.L is None else 0
+        with open(prefix + "-ParameterFile.txt", "w") as f:
+            f.write(
+                f"{float(self.sigma):.17g} {self.input_dim} {self.output_dim} "
+                f"{efficient} 0 "
+            )
+            f.write(kernel_to_string(self.kernel))
+
+    def __eq__(self, other) -> bool:
+        """Deep comparison (reference lib/GaussianProcess.cpp:291-360)."""
+        if not isinstance(other, GP):
+            return NotImplemented
+        import numpy as np
+
+        def same(a, b):
+            if a is None and b is None:
+                return True
+            if a is None or b is None:
+                return False
+            a, b = np.asarray(a), np.asarray(b)
+            return a.shape == b.shape and bool(np.linalg.norm(a - b) == 0)
+
+        return (
+            same(self.alpha, other.alpha)
+            and same(self.X, other.X)
+            and same(self.Y, other.Y)
+            and self.kernel == other.kernel
+            and float(self.sigma) == float(other.sigma)
+        )
+
+    def __hash__(self):
+        return id(self)
+
+
+def _flatten_gp(gp: GP):
+    return (gp.kernel, gp.X, gp.Y, gp.sigma, gp.alpha, gp.L), None
+
+
+def _unflatten_gp(_, children):
+    return GP(*children)
+
+
+tree_util.register_pytree_node(GP, _flatten_gp, _unflatten_gp)
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+
+def fit(
+    kernel,
+    X,
+    Y,
+    sigma: float = 0.0,
+    efficient_storage: bool = False,
+    jitter: float = 0.0,
+) -> GP:
+    """Train an exact GP: factor K + sigma^2 I and solve for the regression
+    vectors (reference Initialize -> ComputeRegressionVectors,
+    lib/GaussianProcess.cpp:117-130,641-672 — but via Cholesky solve instead
+    of the explicit inverse)."""
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y)
+    if X.ndim == 1:
+        X = X[:, None]
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    if X.shape[0] == 0:
+        raise ValueError(
+            "GaussianProcess::Initialize: no input samples defined during initialization"
+        )
+    K = kermod.gram(kernel, X)
+    K = linalg.add_diagonal(K, jnp.asarray(sigma, K.dtype) ** 2)
+    L, _ = linalg.safe_cholesky(K, initial_jitter=jitter)
+    alpha = linalg.cho_solve(L, Y)
+    return GP(
+        kernel=kernel,
+        X=X,
+        Y=Y,
+        sigma=jnp.asarray(sigma, K.dtype),
+        alpha=alpha,
+        L=None if efficient_storage else L,
+    )
+
+
+def load(prefix: str, dtype=None) -> GP:
+    """Load a model saved by :meth:`GP.save` — or by the reference's
+    ``GaussianProcess::Save`` (lib/GaussianProcess.cpp:183-268)."""
+    import numpy as np
+
+    for suffix in (
+        "-RegressionVectors.txt",
+        "-CoreMatrix.txt",
+        "-SampleVectors.txt",
+        "-LabelVectors.txt",
+        "-ParameterFile.txt",
+    ):
+        path = prefix + suffix
+        if not os.path.exists(path) or os.path.isdir(path):
+            raise FileNotFoundError(
+                f"GaussianProcess::Load: {path} does not exist or is a directory."
+            )
+
+    alpha = matrixio.read_matrix(prefix + "-RegressionVectors.txt", dtype)
+    core = matrixio.read_matrix(prefix + "-CoreMatrix.txt", dtype)
+    X = matrixio.read_matrix(prefix + "-SampleVectors.txt", dtype).T
+    Y = matrixio.read_matrix(prefix + "-LabelVectors.txt", dtype).T
+
+    with open(prefix + "-ParameterFile.txt") as f:
+        line = f.readline()
+    parts = line.split(None, 5)
+    if len(parts) < 6:
+        raise ValueError("GaussianProcess::Load: parameter file is corrupt")
+    sigma = float(parts[0])
+    kernel = parse_kernel(parts[5].strip())
+
+    if core.size:
+        # reconstruct the Cholesky factor from K (cheaper and more stable
+        # than factoring the stored explicit inverse)
+        K = kermod.gram(kernel, jnp.asarray(X))
+        K = linalg.add_diagonal(K, sigma**2)
+        L, _ = linalg.safe_cholesky(K)
+    else:
+        L = None
+    return GP(
+        kernel=kernel,
+        X=jnp.asarray(X),
+        Y=jnp.asarray(Y),
+        sigma=jnp.asarray(sigma, jnp.asarray(X).dtype),
+        alpha=jnp.asarray(alpha),
+        L=L,
+    )

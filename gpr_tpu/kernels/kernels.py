@@ -1,0 +1,533 @@
+"""Composable GP kernels as JAX pytrees.
+
+TPU-native re-design of the reference kernel hierarchy (reference:
+include/Kernel.h:41-1036 — virtual ``operator()`` evaluated per pair inside
+OpenMP loops).  Here a kernel is an immutable pytree whose *structure*
+(Sum/Product tree shape, kernel types) is static under ``jit`` and whose
+*hyperparameters* are traced leaves, so ``jax.grad``/``vmap``/``pjit`` all
+work directly on kernel objects.
+
+Gram matrices are never built by pairwise scalar evaluation.  Every base
+kernel is expressed in terms of quantities that XLA maps onto the MXU:
+
+  * isotropic kernels (Gaussian, GaussianExp, RationalQuadratic, White) use
+    the squared-distance trick  ||x-y||^2 = |x|^2 + |y|^2 - 2 x.y  — one GEMM
+    plus rank-1 updates;
+  * the Periodic kernel uses  sum_d sin^2(b (x_d - y_d))
+      = d/2 - 0.5 * [cos(2bX) cos(2bY)^T + sin(2bX) sin(2bY)^T]
+    — two GEMMs, no (n, m, d) broadcast ever materializes.
+
+Hyperparameter ordering in ``params_vector`` matches the reference exactly
+(GaussianKernel: [sigma, scale] — Kernel.h:486-487; WhiteKernel: [scale];
+RationalQuadraticKernel: [scale, sigma, alpha] — Kernel.h:816-818;
+PeriodicKernel: [scale, b, sigma] — Kernel.h:957-959; Sum/Product:
+concat(k1, k2) — Kernel.h:190-191), so optimizer trajectories and analytic
+derivative stacks line up with the reference's tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import tree_util
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _as_2d(X) -> jax.Array:
+    X = jnp.asarray(X)
+    if X.ndim == 1:
+        X = X[:, None]
+    return X
+
+
+def sqdist(X: jax.Array, Y: jax.Array) -> jax.Array:
+    """Pairwise squared Euclidean distances via GEMM (MXU path)."""
+    xx = jnp.sum(X * X, axis=-1)
+    yy = jnp.sum(Y * Y, axis=-1)
+    # preferred_element_type pins the MXU accumulator
+    xy = jax.lax.dot_general(
+        X, Y, (((1,), (1,)), ((), ())), preferred_element_type=X.dtype
+    )
+    d2 = xx[:, None] + yy[None, :] - 2.0 * xy
+    return jnp.maximum(d2, 0.0)
+
+
+def _fmt(v: float) -> str:
+    """Scalar → string with max precision, matching the reference's P2S
+    (include/Kernel.h:127-132: std::setprecision(digits10+1) default fmt)."""
+    s = format(float(v), ".17g")
+    return s
+
+
+# ---------------------------------------------------------------------------
+# base class
+# ---------------------------------------------------------------------------
+
+class Kernel:
+    """Base kernel.  Subclasses are frozen dataclasses registered as pytrees.
+
+    API surface (mirroring reference include/Kernel.h:41-146):
+      k(x, y)                elementwise evaluation (scalars/vectors)
+      gram(k, X, Y)          full covariance matrix (module-level, MXU path)
+      k.params               reference-ordered hyperparameter tuple
+      k.with_params(vec)     functional SetParameters
+      k.analytic_derivative(x, y)   the reference's hand-derived GetDerivative
+                             (kept as golden formulas; production gradients
+                              come from jax.grad)
+      k.to_string()          reference kernel-string DSL serialization
+    """
+
+    # --- evaluation -------------------------------------------------------
+    def __call__(self, x, y):
+        x = jnp.atleast_1d(jnp.asarray(x))
+        y = jnp.atleast_1d(jnp.asarray(y))
+        return self._eval(x, y)
+
+    def _eval(self, x, y):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _gram(self, X, Y, symmetric):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    # --- parameters -------------------------------------------------------
+    @property
+    def params(self) -> Tuple:
+        raise NotImplementedError
+
+    def with_params(self, vec):
+        """Return a copy with hyperparameters replaced (reference
+        SetParameters semantics).  ``vec`` is in reference ordering."""
+        vec = list(vec)
+        if len(vec) != self.num_params:
+            raise ValueError(
+                f"{type(self).__name__}.with_params: wrong number of parameters."
+            )
+        new, _ = self._consume_params(vec)
+        return new
+
+    def _consume_params(self, vec):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    @property
+    def num_params(self) -> int:
+        return len(self.params)
+
+    # --- misc -------------------------------------------------------------
+    def analytic_derivative(self, x, y):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def to_string(self) -> str:
+        raise NotImplementedError
+
+    def __add__(self, other):
+        return Sum(self, other)
+
+    def __mul__(self, other):
+        return Product(self, other)
+
+    def __eq__(self, other):
+        if type(self) is not type(other):
+            return False
+        a = [float(p) for p in self.params]
+        b = [float(p) for p in other.params]
+        if len(a) != len(b):
+            return False
+        import numpy as np
+
+        return bool(np.allclose(a, b, rtol=0, atol=10 * np.finfo(np.float64).eps))
+
+    def __hash__(self):
+        return hash((type(self).__name__, tuple(float(p) for p in self.params)))
+
+
+def _register(cls):
+    """Register a kernel dataclass as a pytree (param fields are leaves)."""
+    fields = [f.name for f in dataclasses.fields(cls)]
+
+    def flatten(k):
+        return tuple(getattr(k, f) for f in fields), None
+
+    def unflatten(_, children):
+        return cls(*children)
+
+    tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+# ---------------------------------------------------------------------------
+# base kernels
+# ---------------------------------------------------------------------------
+
+@_register
+@dataclasses.dataclass(frozen=True, eq=False)
+class Gaussian(Kernel):
+    """k(x,y) = scale^2 exp(-0.5 ||x-y||^2 / sigma^2)
+    (reference include/Kernel.h:454-559)."""
+
+    sigma: Any
+    scale: Any = 1.0
+
+    def __post_init__(self):
+        for name in ("sigma", "scale"):
+            v = getattr(self, name)
+            if not isinstance(v, jax.core.Tracer) and float(v) == 0:
+                raise ValueError(f"GaussianKernel: {name} has to be positive")
+
+    def _eval(self, x, y):
+        r2 = jnp.sum((x - y) ** 2)
+        return self.scale**2 * jnp.exp(-0.5 * r2 / self.sigma**2)
+
+    def _gram(self, X, Y, symmetric):
+        d2 = sqdist(X, Y)
+        return self.scale**2 * jnp.exp(-0.5 * d2 / self.sigma**2)
+
+    @property
+    def params(self):
+        return (self.sigma, self.scale)
+
+    def _consume_params(self, vec):
+        return Gaussian(vec[0], vec[1]), vec[2:]
+
+    def analytic_derivative(self, x, y):
+        """Reference Kernel.h:471-479: d/d[sigma, scale]."""
+        x = jnp.atleast_1d(jnp.asarray(x))
+        y = jnp.atleast_1d(jnp.asarray(y))
+        r2 = jnp.sum((x - y) ** 2)
+        f = jnp.exp(-0.5 * r2 / self.sigma**2)
+        return jnp.stack(
+            [self.scale**2 * r2 / self.sigma**3 * f, 2 * self.scale * f]
+        )
+
+    def to_string(self):
+        return f"GaussianKernel({_fmt(self.sigma)},{_fmt(self.scale)},)"
+
+
+@_register
+@dataclasses.dataclass(frozen=True, eq=False)
+class GaussianExp(Kernel):
+    """Log-parameterized Gaussian: k = exp(scale)^2 exp(-0.5 r^2/exp(sigma)^2)
+    (reference include/Kernel.h:569-676)."""
+
+    sigma: Any
+    scale: Any = 1.0
+
+    def _eval(self, x, y):
+        r2 = jnp.sum((x - y) ** 2)
+        es, ec = jnp.exp(self.sigma), jnp.exp(self.scale)
+        return ec**2 * jnp.exp(-0.5 * r2 / es**2)
+
+    def _gram(self, X, Y, symmetric):
+        d2 = sqdist(X, Y)
+        es, ec = jnp.exp(self.sigma), jnp.exp(self.scale)
+        return ec**2 * jnp.exp(-0.5 * d2 / es**2)
+
+    @property
+    def params(self):
+        return (self.sigma, self.scale)
+
+    def _consume_params(self, vec):
+        return GaussianExp(vec[0], vec[1]), vec[2:]
+
+    def analytic_derivative(self, x, y):
+        """Reference Kernel.h:588-598."""
+        x = jnp.atleast_1d(jnp.asarray(x))
+        y = jnp.atleast_1d(jnp.asarray(y))
+        r2 = jnp.sum((x - y) ** 2)
+        f1 = jnp.exp(-2 * self.sigma)
+        f2 = jnp.exp(2 * self.sigma)
+        d_sigma = r2 * jnp.exp(-0.5 * f1 * ((4 * self.sigma - 4 * self.scale) * f2 + r2))
+        d_scale = 2 * jnp.exp(0.5 * f1 * (4 * f2 * self.scale - r2))
+        return jnp.stack([d_sigma, d_scale])
+
+    def to_string(self):
+        return f"GaussianExpKernel({_fmt(self.sigma)},{_fmt(self.scale)},)"
+
+
+@_register
+@dataclasses.dataclass(frozen=True, eq=False)
+class White(Kernel):
+    """k(x,y) = scale^2 [x == y]  (reference include/Kernel.h:685-773).
+
+    In Gram form the equality test uses an exact-zero squared distance
+    computed with compensated arithmetic: the GEMM-based sqdist is only used
+    to *gate* a tolerance window around machine epsilon.
+    """
+
+    scale: Any
+
+    def _eval(self, x, y):
+        eq = jnp.all(x == y)
+        return jnp.where(eq, self.scale**2, 0.0)
+
+    def _gram(self, X, Y, symmetric):
+        d2 = sqdist(X, Y)
+        # tolerance scaled to the magnitude of the inputs: the GEMM path can
+        # produce |d2| ~ eps*|x|^2 for identical rows.
+        eps = jnp.finfo(d2.dtype).eps
+        scale2 = jnp.maximum(
+            jnp.max(jnp.sum(X * X, axis=-1)), jnp.max(jnp.sum(Y * Y, axis=-1))
+        )
+        tol = 16.0 * eps * jnp.maximum(scale2, 1.0)
+        return jnp.where(d2 <= tol, self.scale**2, 0.0)
+
+    @property
+    def params(self):
+        return (self.scale,)
+
+    def _consume_params(self, vec):
+        return White(vec[0]), vec[1:]
+
+    def analytic_derivative(self, x, y):
+        """Reference Kernel.h:704-713."""
+        x = jnp.atleast_1d(jnp.asarray(x))
+        y = jnp.atleast_1d(jnp.asarray(y))
+        eq = jnp.all(x == y)
+        return jnp.stack([jnp.where(eq, 2 * self.scale, 0.0)])
+
+    def to_string(self):
+        return f"WhiteKernel({_fmt(self.scale)},)"
+
+
+@_register
+@dataclasses.dataclass(frozen=True, eq=False)
+class RationalQuadratic(Kernel):
+    """k = scale^2 (1 + r^2/(2 alpha sigma^2))^-alpha
+    (reference include/Kernel.h:784-891)."""
+
+    scale: Any
+    sigma: Any
+    alpha: Any
+
+    def _eval(self, x, y):
+        r2 = jnp.sum((x - y) ** 2)
+        return self.scale**2 * (1 + 0.5 * r2 / (self.sigma**2 * self.alpha)) ** (
+            -self.alpha
+        )
+
+    def _gram(self, X, Y, symmetric):
+        d2 = sqdist(X, Y)
+        return self.scale**2 * (1 + 0.5 * d2 / (self.sigma**2 * self.alpha)) ** (
+            -self.alpha
+        )
+
+    @property
+    def params(self):
+        return (self.scale, self.sigma, self.alpha)
+
+    def _consume_params(self, vec):
+        return RationalQuadratic(vec[0], vec[1], vec[2]), vec[3:]
+
+    def analytic_derivative(self, x, y):
+        """Reference Kernel.h:799-808: d/d[scale, sigma, alpha]."""
+        x = jnp.atleast_1d(jnp.asarray(x))
+        y = jnp.atleast_1d(jnp.asarray(y))
+        r2 = jnp.sum((x - y) ** 2)
+        f = 0.5 * r2 / (self.sigma**2 * self.alpha) + 1
+        d_scale = 2 * self.scale * f ** (-self.alpha)
+        d_sigma = self.scale**2 * r2 * f ** (-self.alpha - 1) / self.sigma**3
+        d_alpha = (
+            self.scale**2
+            * (r2 / (2 * self.sigma**2 * f * self.alpha) - jnp.log(f))
+            * f ** (-self.alpha)
+        )
+        return jnp.stack([d_scale, d_sigma, d_alpha])
+
+    def to_string(self):
+        return (
+            f"RationalQuadraticKernel({_fmt(self.scale)},{_fmt(self.sigma)},"
+            f"{_fmt(self.alpha)},)"
+        )
+
+
+@_register
+@dataclasses.dataclass(frozen=True, eq=False)
+class Periodic(Kernel):
+    """k = scale^2 exp(-0.5 sum_d sin^2(b (x_d - y_d)) / sigma^2)
+    (reference include/Kernel.h:902-1036; b = pi / period_length).
+
+    Gram uses sin^2(t) = (1 - cos 2t)/2 and the angle-difference identity so
+    the d-sum becomes two GEMMs:
+        sum_d cos(2b(x_d - y_d)) = cos(2bX)·cos(2bY)^T + sin(2bX)·sin(2bY)^T
+    """
+
+    scale: Any
+    b: Any
+    sigma: Any
+
+    def _sin2sum(self, x, y):
+        return jnp.sum(jnp.sin(self.b * (x - y)) ** 2)
+
+    def _eval(self, x, y):
+        return self.scale**2 * jnp.exp(-0.5 * self._sin2sum(x, y) / self.sigma**2)
+
+    def _gram(self, X, Y, symmetric):
+        d = X.shape[-1]
+        cx, sx = jnp.cos(2 * self.b * X), jnp.sin(2 * self.b * X)
+        cy, sy = jnp.cos(2 * self.b * Y), jnp.sin(2 * self.b * Y)
+        dot = lambda A, B: jax.lax.dot_general(
+            A, B, (((1,), (1,)), ((), ())), preferred_element_type=A.dtype
+        )
+        cos_sum = dot(cx, cy) + dot(sx, sy)
+        sin2 = 0.5 * (d - cos_sum)
+        sin2 = jnp.maximum(sin2, 0.0)
+        return self.scale**2 * jnp.exp(-0.5 * sin2 / self.sigma**2)
+
+    @property
+    def params(self):
+        return (self.scale, self.b, self.sigma)
+
+    def _consume_params(self, vec):
+        return Periodic(vec[0], vec[1], vec[2]), vec[3:]
+
+    def analytic_derivative(self, x, y):
+        """Reference Kernel.h:922-948: d/d[scale, b, sigma]."""
+        x = jnp.atleast_1d(jnp.asarray(x))
+        y = jnp.atleast_1d(jnp.asarray(y))
+        r = x - y
+        s = jnp.sin(self.b * r)
+        f1 = jnp.sum(s * s)
+        f2 = jnp.sum(2 * r * jnp.cos(self.b * r) * s)
+        e = jnp.exp(-0.5 * f1 / self.sigma**2)
+        return jnp.stack(
+            [
+                2 * self.scale * e,
+                -0.5 * self.scale**2 * e * f2 / self.sigma**2,
+                self.scale**2 * e * f1 / self.sigma**3,
+            ]
+        )
+
+    def to_string(self):
+        return (
+            f"PeriodicKernel({_fmt(self.scale)},{_fmt(self.b)},{_fmt(self.sigma)},)"
+        )
+
+
+# ---------------------------------------------------------------------------
+# combinators
+# ---------------------------------------------------------------------------
+
+@_register
+@dataclasses.dataclass(frozen=True, eq=False)
+class Sum(Kernel):
+    """k1 + k2 (reference include/Kernel.h:153-296)."""
+
+    k1: Kernel
+    k2: Kernel
+
+    def _eval(self, x, y):
+        return self.k1._eval(x, y) + self.k2._eval(x, y)
+
+    def _gram(self, X, Y, symmetric):
+        return self.k1._gram(X, Y, symmetric) + self.k2._gram(X, Y, symmetric)
+
+    @property
+    def params(self):
+        return tuple(self.k1.params) + tuple(self.k2.params)
+
+    def _consume_params(self, vec):
+        n1, rest = self.k1._consume_params(vec)
+        n2, rest = self.k2._consume_params(rest)
+        return Sum(n1, n2), rest
+
+    def analytic_derivative(self, x, y):
+        return jnp.concatenate(
+            [self.k1.analytic_derivative(x, y), self.k2.analytic_derivative(x, y)]
+        )
+
+    def to_string(self):
+        return f"SumKernel({self.k1.to_string()},{self.k2.to_string()})"
+
+
+@_register
+@dataclasses.dataclass(frozen=True, eq=False)
+class Product(Kernel):
+    """k1 * k2 (reference include/Kernel.h:302-444)."""
+
+    k1: Kernel
+    k2: Kernel
+
+    def _eval(self, x, y):
+        return self.k1._eval(x, y) * self.k2._eval(x, y)
+
+    def _gram(self, X, Y, symmetric):
+        return self.k1._gram(X, Y, symmetric) * self.k2._gram(X, Y, symmetric)
+
+    @property
+    def params(self):
+        return tuple(self.k1.params) + tuple(self.k2.params)
+
+    def _consume_params(self, vec):
+        n1, rest = self.k1._consume_params(vec)
+        n2, rest = self.k2._consume_params(rest)
+        return Product(n1, n2), rest
+
+    def analytic_derivative(self, x, y):
+        """Product rule, matching reference Kernel.h:318-327."""
+        d1 = self.k1.analytic_derivative(x, y) * self.k2._eval(
+            jnp.atleast_1d(jnp.asarray(x)), jnp.atleast_1d(jnp.asarray(y))
+        )
+        d2 = self.k2.analytic_derivative(x, y) * self.k1._eval(
+            jnp.atleast_1d(jnp.asarray(x)), jnp.atleast_1d(jnp.asarray(y))
+        )
+        return jnp.concatenate([d1, d2])
+
+    def to_string(self):
+        return f"ProductKernel({self.k1.to_string()},{self.k2.to_string()})"
+
+
+# ---------------------------------------------------------------------------
+# module-level functional API
+# ---------------------------------------------------------------------------
+
+def gram(kernel: Kernel, X, Y=None) -> jax.Array:
+    """Full covariance matrix K[i,j] = k(X[i], Y[j]) on the MXU path.
+
+    Replaces the reference's OpenMP pairwise loop
+    (lib/GaussianProcess.cpp:384-402)."""
+    X = _as_2d(X)
+    symmetric = Y is None
+    Y2 = X if symmetric else _as_2d(Y)
+    K = kernel._gram(X, Y2, symmetric)
+    if symmetric:
+        K = 0.5 * (K + K.T)
+    return K
+
+
+def kvec(kernel: Kernel, X, x) -> jax.Array:
+    """Kernel vector Kx[i] = k(x, X[i]) (reference
+    lib/GaussianProcess.cpp:683-693)."""
+    x = jnp.atleast_1d(jnp.asarray(x))
+    return gram(kernel, x[None, :], X)[0]
+
+
+def params_vector(kernel: Kernel) -> jax.Array:
+    return jnp.stack([jnp.asarray(p, dtype=jnp.result_type(float)) for p in kernel.params])
+
+
+def gram_derivative(kernel: Kernel, X) -> jax.Array:
+    """Stack of dK/dtheta_p blocks, shape (num_params, n, n) — autodiff
+    equivalent of reference lib/GaussianProcess.cpp:471-495 (which stacks the
+    blocks into an (n*num_params, n) matrix)."""
+    X = _as_2d(X)
+    vec = params_vector(kernel)
+
+    def g(v):
+        return gram(kernel.with_params(list(v)), X)
+
+    J = jax.jacfwd(g)(vec)  # (n, n, p)
+    return jnp.moveaxis(J, -1, 0)
+
+
+def analytic_gram_derivative(kernel: Kernel, X, Y=None) -> jax.Array:
+    """Same stack via the reference's hand-derived formulas (golden path)."""
+    X = _as_2d(X)
+    Y2 = X if Y is None else _as_2d(Y)
+    f = lambda x, y: kernel.analytic_derivative(x, y)
+    return jnp.moveaxis(jax.vmap(lambda x: jax.vmap(lambda y: f(x, y))(Y2))(X), -1, 0)

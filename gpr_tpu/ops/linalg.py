@@ -1,0 +1,144 @@
+"""PSD-safe linear algebra primitives.
+
+This is the TPU-native replacement for the reference's L0 numerics backend
+(reference: include/LAPACKUtils.h — LAPACK dgetrf/dgetri/dpotrf/dpotri
+bindings, and lib/GaussianProcess.cpp:530-618 — four explicit-inverse
+strategies).  The single biggest deliberate design difference from the
+reference: we never form explicit inverses.  Everything is expressed as a
+Cholesky factorization + triangular solves, which is both numerically
+superior and maps onto the MXU as large batched GEMMs.
+
+Key entry points
+----------------
+``safe_cholesky``    Cholesky with automatic jitter escalation (mirrors the
+                     defensive guards at reference lib/GaussianProcess.cpp:
+                     398-401 and SparseGaussianProcess.h:174-180).
+``cho_solve``        Solve ``A x = b`` given the factor.
+``solve_psd``        One-shot factor+solve.
+``logdet_from_chol`` log|A| = 2·Σ log diag(L), with the reference's
+                     determinant under/overflow clamping semantics
+                     (reference include/Likelihood.h:180-188) translated to
+                     log space.
+``inv_psd``          Explicit inverse (only for parity tests / the saved
+                     CoreMatrix artifact, never on the hot path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# log-space clamping bounds, mirroring the reference's clamping of the
+# determinant to [min, max] of long double (include/Likelihood.h:180-188).
+# In float64 we clamp at the float64 range instead.
+def _logdet_bounds(dtype) -> Tuple[float, float]:
+    finfo = jnp.finfo(dtype)
+    import numpy as np
+
+    return float(np.log(finfo.tiny)), float(np.log(finfo.max))
+
+
+def add_diagonal(A: jax.Array, value) -> jax.Array:
+    """A + value * I without materializing an identity matrix."""
+    n = A.shape[-1]
+    idx = jnp.arange(n)
+    return A.at[..., idx, idx].add(value)
+
+
+def safe_cholesky(
+    A: jax.Array,
+    initial_jitter: float = 0.0,
+    max_tries: int = 6,
+) -> Tuple[jax.Array, jax.Array]:
+    """Cholesky with jitter escalation.
+
+    Attempts ``chol(A + j*I)`` with ``j`` escalating from ``initial_jitter``
+    (or eps-scaled if 0) by 10x per retry until the factorization succeeds.
+    Returns ``(L, jitter_used)``.  Fully jittable: uses a ``lax.while_loop``
+    over the retry counter.
+
+    This replaces the reference's strategy of falling back between LAPACK LU
+    / Cholesky / SVD / eigendecomposition (lib/GaussianProcess.cpp:530-618).
+    """
+    dtype = A.dtype
+    eps = jnp.finfo(dtype).eps
+
+    # --- phase 1: pick the jitter on stop-gradient values -------------------
+    # The escalation loop runs on a non-differentiated copy of A, so the
+    # while_loop never carries tangents (reverse-mode AD through while_loop
+    # is unsupported); the chosen jitter is piecewise-constant in A and
+    # correctly treated as a constant by AD.
+    A_ng = lax.stop_gradient(A)
+    diag_mean = jnp.mean(jnp.abs(jnp.diagonal(A_ng, axis1=-2, axis2=-1)), axis=-1)
+    base = jnp.where(initial_jitter > 0, initial_jitter, eps * jnp.maximum(diag_mean, 1.0))
+
+    def ok_at(j):
+        L = jnp.linalg.cholesky(add_diagonal(A_ng, j))
+        return jnp.all(jnp.isfinite(L))
+
+    def cond(state):
+        ok, tries, _ = state
+        return jnp.logical_and(jnp.logical_not(ok), tries < max_tries)
+
+    def body(state):
+        _, tries, j = state
+        jnew = jnp.where(tries == 0, j, j * 10.0)
+        return ok_at(jnew), tries + 1, jnew
+
+    ok0 = ok_at(jnp.zeros_like(base))
+    _, _, j = lax.while_loop(cond, body, (ok0, jnp.array(0), base))
+    jitter_used = jnp.where(ok0, jnp.zeros_like(j), j)
+
+    # --- phase 2: one differentiable factorization --------------------------
+    L = jnp.linalg.cholesky(add_diagonal(A, jitter_used))
+    return L, jitter_used
+
+
+def cho_solve(L: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve A x = b where A = L L^T."""
+    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+
+def solve_psd(A: jax.Array, b: jax.Array, jitter: float = 0.0) -> jax.Array:
+    L, _ = safe_cholesky(A, initial_jitter=jitter)
+    return cho_solve(L, b)
+
+
+def logdet_from_chol(L: jax.Array) -> jax.Array:
+    """log|A| from its Cholesky factor, clamped like the reference clamps
+    the determinant (include/Likelihood.h:180-188), translated to log space."""
+    lo, hi = _logdet_bounds(L.dtype)
+    ld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    return jnp.clip(ld, lo, hi)
+
+
+def inv_psd(A: jax.Array, jitter: float = 0.0) -> jax.Array:
+    """Explicit PSD inverse.  Kept for parity with the reference's saved
+    CoreMatrix artifact (lib/GaussianProcess.cpp:152-153) and the
+    InversionMethodsTest semantics — NOT used on the hot path."""
+    L, _ = safe_cholesky(A, initial_jitter=jitter)
+    eye = jnp.eye(A.shape[-1], dtype=A.dtype)
+    return cho_solve(L, eye)
+
+
+def pinv(A: jax.Array, epsilon: float | None = None) -> jax.Array:
+    """SVD-based Moore-Penrose pseudo-inverse matching the reference's
+    ``gpr::pinv`` (include/Prior.h:38-56): singular values <= epsilon are
+    zeroed (not inverted)."""
+    if epsilon is None:
+        epsilon = float(jnp.finfo(jnp.float64).eps) if A.dtype == jnp.float64 else float(jnp.finfo(A.dtype).eps)
+    U, s, Vh = jnp.linalg.svd(A, full_matrices=True)
+    s_inv = jnp.where(s <= epsilon, 0.0, 1.0 / jnp.where(s <= epsilon, 1.0, s))
+    k = s.shape[0]
+    return (Vh.T[:, :k] * s_inv[None, :]) @ U.T[:k, :]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def symmetrize(A: jax.Array) -> jax.Array:
+    return 0.5 * (A + A.T)

@@ -1,0 +1,153 @@
+"""Kernel algebra tests.
+
+Port of the semantics of reference tests: KernelDerivativeTest.cpp (analytic
+derivatives of every kernel and Sum/Product compositions), SumKernelTest /
+ProductKernelTest / PeriodicKernelTest / RationalQuadraticKernelTest
+(parameter get/set, string round-trip, RQ -> Gaussian limit).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gpr_tpu as gt
+from gpr_tpu.kernels import kernels as kermod
+
+
+ALL_KERNELS = [
+    gt.Gaussian(2.5, 1.3),
+    gt.GaussianExp(0.7, 0.2),
+    gt.White(1.7),
+    gt.RationalQuadratic(1.2, 2.0, 3.0),
+    gt.Periodic(1.5, 0.8, 1.1),
+    gt.Sum(gt.Gaussian(2.0, 1.0), gt.Periodic(1.5, 0.8, 1.1)),
+    gt.Product(gt.Gaussian(2.0, 1.0), gt.RationalQuadratic(1.2, 2.0, 3.0)),
+    gt.Sum(
+        gt.Product(gt.Gaussian(2.0, 1.5), gt.Periodic(1.5, 0.8, 1.1)),
+        gt.White(0.3),
+    ),
+]
+
+
+def _ids(ks):
+    return [type(k).__name__ + str(i) for i, k in enumerate(ks)]
+
+
+@pytest.mark.parametrize("kernel", ALL_KERNELS, ids=_ids(ALL_KERNELS))
+def test_gram_matches_pairwise_eval(kernel, rng):
+    X = jnp.asarray(rng.standard_normal((17, 3)))
+    Y = jnp.asarray(rng.standard_normal((11, 3)))
+    K = gt.gram(kernel, X, Y)
+    K_ref = np.array(
+        [[float(kernel(X[i], Y[j])) for j in range(11)] for i in range(17)]
+    )
+    np.testing.assert_allclose(np.asarray(K), K_ref, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("kernel", ALL_KERNELS, ids=_ids(ALL_KERNELS))
+def test_symmetric_gram_diag(kernel, rng):
+    X = jnp.asarray(rng.standard_normal((9, 2)))
+    K = gt.gram(kernel, X)
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K).T, atol=1e-14)
+    diag_ref = np.array([float(kernel(X[i], X[i])) for i in range(9)])
+    np.testing.assert_allclose(np.diag(np.asarray(K)), diag_ref, rtol=1e-10, atol=1e-12)
+
+
+SMOOTH_KERNELS = [k for k in ALL_KERNELS if not isinstance(k, gt.White)]
+
+
+@pytest.mark.parametrize("kernel", SMOOTH_KERNELS, ids=_ids(SMOOTH_KERNELS))
+def test_analytic_derivative_matches_autodiff(kernel, rng):
+    """The reference's hand-derived GetDerivative formulas
+    (include/Kernel.h) must agree with jax.grad of k(x,y) wrt the
+    reference-ordered parameter vector — this is the analogue of
+    tests/KernelDerivativeTest.cpp."""
+    x = jnp.asarray(rng.standard_normal(3))
+    y = jnp.asarray(rng.standard_normal(3))
+    analytic = np.asarray(kernel.analytic_derivative(x, y))
+
+    vec0 = gt.params_vector(kernel)
+
+    def f(vec):
+        return kernel.with_params(list(vec))(x, y)
+
+    auto = np.asarray(jax.grad(f)(vec0))
+    np.testing.assert_allclose(analytic, auto, rtol=1e-8, atol=1e-10)
+
+
+def test_white_derivative():
+    k = gt.White(1.7)
+    x = jnp.asarray([1.0, 2.0])
+    d_same = np.asarray(k.analytic_derivative(x, x))
+    d_diff = np.asarray(k.analytic_derivative(x, x + 1))
+    np.testing.assert_allclose(d_same, [2 * 1.7])
+    np.testing.assert_allclose(d_diff, [0.0])
+
+
+def test_rq_gaussian_limit():
+    """RQ -> Gaussian as alpha -> inf (reference
+    tests/RationalQuadraticKernelTest.cpp:46)."""
+    g = gt.Gaussian(2.0, 1.5)
+    rq = gt.RationalQuadratic(1.5, 2.0, 1e7)
+    x = jnp.asarray([0.3])
+    for t in np.linspace(-4, 4, 17):
+        y = jnp.asarray([float(t)])
+        assert abs(float(g(x, y)) - float(rq(x, y))) < 1e-6
+
+
+def test_with_params_roundtrip():
+    k = gt.Sum(gt.Gaussian(2.0, 1.0), gt.Periodic(1.5, 0.8, 1.1))
+    vec = [float(p) for p in k.params]
+    assert vec == [2.0, 1.0, 1.5, 0.8, 1.1]
+    k2 = k.with_params([3.0, 2.0, 2.5, 1.8, 2.1])
+    assert [float(p) for p in k2.params] == [3.0, 2.0, 2.5, 1.8, 2.1]
+    with pytest.raises(ValueError):
+        k.with_params([1.0, 2.0])
+
+
+def test_dsl_roundtrip():
+    """Kernel-string serialization round-trip (reference
+    KernelFactory::GetKernel, tests *KernelTest save/load semantics)."""
+    for k in ALL_KERNELS:
+        s = gt.kernel_to_string(k)
+        k2 = gt.parse_kernel(s)
+        assert k == k2, (s, gt.kernel_to_string(k2))
+        assert gt.kernel_to_string(k2) == s
+
+
+def test_dsl_parses_reference_config_strings():
+    # from reference scripts/params (e.g. config_114CTarchive_vol04.yaml:51)
+    k = gt.parse_kernel("GaussianKernel(35, 30,)")
+    assert isinstance(k, gt.Gaussian)
+    assert float(k.sigma) == 35 and float(k.scale) == 30
+    k = gt.parse_kernel(
+        "SumKernel(GaussianKernel(130,M_PI,),PeriodicKernel(1,2,3,))"
+    )
+    assert isinstance(k, gt.Sum)
+    assert float(k.k1.scale) == pytest.approx(math.pi)
+
+
+def test_zero_sigma_rejected():
+    """Reference tests/GaussianProcessTest.cpp Test7: GaussianKernel(0)
+    must be rejected."""
+    with pytest.raises(ValueError):
+        gt.Gaussian(0.0)
+
+
+def test_kernel_equality_semantics():
+    assert gt.Gaussian(2.0, 1.0) == gt.Gaussian(2.0, 1.0)
+    assert gt.Gaussian(2.0, 1.0) != gt.Gaussian(2.0, 1.5)
+    assert gt.Gaussian(2.0, 1.0) != gt.GaussianExp(2.0, 1.0)
+
+
+def test_gram_derivative_matches_analytic(rng):
+    """Stacked dK/dtheta via autodiff vs the reference's analytic stack
+    (lib/GaussianProcess.cpp:471-495)."""
+    kernel = gt.Sum(gt.Gaussian(2.0, 1.5), gt.Periodic(1.5, 0.8, 1.1))
+    X = jnp.asarray(rng.standard_normal((7, 2)))
+    auto = np.asarray(gt.gram_derivative(kernel, X))
+    analytic = np.asarray(kermod.analytic_gram_derivative(kernel, X))
+    np.testing.assert_allclose(auto, analytic, rtol=1e-8, atol=1e-10)
