@@ -217,7 +217,7 @@ class GaussNewtonInference:
             sign = -1.0 if value[0] > 0 else 1.0
             gg = np.outer(grad, grad)
             update = np.asarray(linalg.pinv(jnp.asarray(gg))) @ grad
-            p = np.asarray(self.params, dtype=float)
+            p = np.array(self.params, dtype=float)
             for i in range(p.size):
                 if not bool(self.mask[i]):
                     continue
@@ -254,7 +254,7 @@ class GaussNewtonInference:
             abs_value = np.abs(value)
             JtJ = J.T @ J
             update = (np.asarray(linalg.pinv(jnp.asarray(JtJ))) @ J.T) @ abs_value
-            p = np.asarray(self.params, dtype=float)
+            p = np.array(self.params, dtype=float)
             for i in range(p.size):
                 if not bool(self.mask[i]):
                     continue
