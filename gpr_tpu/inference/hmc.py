@@ -1,0 +1,322 @@
+"""Hamiltonian Monte Carlo over GP hyperparameters.
+
+The TPU-native replacement for the reference's point-estimate optimizer
+(reference include/GaussianProcessInference.h:84-229 — pinv-based
+Gauss-Newton on the MLL): instead of a single MAP/MLE point we sample the
+full hyperparameter posterior.  One leapfrog step = one jitted
+value-and-grad of the (Cholesky-based) log posterior — the O(n^3)/O(nm^2)
+factorization work lands on the MXU, and chains are embarrassingly parallel:
+
+  * many chains per device via ``vmap``;
+  * chains sharded across devices/hosts via ``shard_map`` over a
+    ``jax.sharding.Mesh``, with step-size / mass-matrix adaptation
+    statistics combined across ALL chains by ``psum`` collectives over ICI
+    (the design target named in BASELINE.json and SURVEY.md §5.8).
+
+Adaptation: Nesterov dual-averaging on the step size (target acceptance
+0.8) and a diagonal mass matrix estimated from warmup samples, in three
+jitted ``lax.scan`` stages (warmup-1: step size; warmup-2: step size under
+the adapted mass; sampling).
+
+Everything is parameterized in LOG space (theta = exp(z)) so positivity is
+structural; the Jacobian term sum(z) is included in the log posterior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..gp import likelihood as lk
+from ..kernels import kernels as kermod
+
+
+# ---------------------------------------------------------------------------
+# log posterior builders
+# ---------------------------------------------------------------------------
+
+def make_gp_log_posterior(
+    kernel, X, Y, sigma, priors: Optional[Sequence] = None, weight: float = 1.0
+) -> Callable:
+    """log p(z | data) over z = log(theta):
+    weight * MLL(exp(z)) + sum_p log prior_p(exp(z_p)) + sum(z)  (Jacobian).
+    """
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y)
+
+    def logp(z):
+        theta = jnp.exp(z)
+        val = weight * lk.mll_scalar(kernel.with_params(list(theta)), X, Y, sigma)
+        if priors is not None:
+            for i, prior in enumerate(priors):
+                if prior is not None:
+                    val = val + prior.log_pdf(theta[i])
+        return val + jnp.sum(z)  # change-of-variables Jacobian
+
+    return logp
+
+
+def make_sparse_gp_log_posterior(
+    kernel, Z, X, Y, sigma, priors: Optional[Sequence] = None, jitter: float = 0.0
+) -> Callable:
+    from ..gp import sparse as sp
+
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y)
+    Z = jnp.asarray(Z)
+
+    def logp(z):
+        theta = jnp.exp(z)
+        val = sp.sparse_mll_scalar(
+            kernel.with_params(list(theta)), Z, X, Y, sigma, jitter
+        )
+        if priors is not None:
+            for i, prior in enumerate(priors):
+                if prior is not None:
+                    val = val + prior.log_pdf(theta[i])
+        return val + jnp.sum(z)
+
+    return logp
+
+
+# ---------------------------------------------------------------------------
+# HMC core
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class HMCConfig:
+    num_warmup: int = 500
+    num_samples: int = 500
+    num_leapfrog: int = 16
+    target_accept: float = 0.8
+    initial_step_size: float = 0.1
+    max_step_size: float = 10.0
+    jitter_steps: bool = True  # randomize leapfrog count in [1, L]
+
+
+class ChainState(NamedTuple):
+    z: jax.Array  # position (dim,)
+    logp: jax.Array  # cached log prob
+    grad: jax.Array  # cached gradient
+
+
+class DualAveragingState(NamedTuple):
+    log_eps: jax.Array
+    log_eps_bar: jax.Array
+    h_bar: jax.Array
+    step: jax.Array
+
+
+def _leapfrog(logp_grad_fn, z, p, grad, eps, inv_mass, n_steps):
+    """n_steps of leapfrog; returns (z', p', grad', logp')."""
+
+    def body(_, carry):
+        z, p, grad = carry
+        p = p + 0.5 * eps * grad
+        z = z + eps * inv_mass * p
+        logp, grad = logp_grad_fn(z)
+        p = p + 0.5 * eps * grad
+        return (z, p, grad)
+
+    z, p, grad = lax.fori_loop(0, n_steps, body, (z, p, grad))
+    logp, grad = logp_grad_fn(z)
+    return z, p, grad, logp
+
+
+def _hmc_transition(logp_grad_fn, state: ChainState, key, eps, inv_mass, cfg: HMCConfig):
+    """One HMC proposal + Metropolis accept.  Returns (state', accept_prob)."""
+    k_mom, k_steps, k_acc = jax.random.split(key, 3)
+    dim = state.z.shape[0]
+    # momentum ~ N(0, M); with diagonal M = 1/inv_mass
+    p0 = jax.random.normal(k_mom, (dim,)) / jnp.sqrt(inv_mass)
+    if cfg.jitter_steps:
+        n_steps = jax.random.randint(k_steps, (), 1, cfg.num_leapfrog + 1)
+    else:
+        n_steps = cfg.num_leapfrog
+
+    z1, p1, grad1, logp1 = _leapfrog(
+        logp_grad_fn, state.z, p0, state.grad, eps, inv_mass, n_steps
+    )
+    ke0 = 0.5 * jnp.sum(inv_mass * p0 * p0)
+    ke1 = 0.5 * jnp.sum(inv_mass * p1 * p1)
+    log_accept = (logp1 - ke1) - (state.logp - ke0)
+    log_accept = jnp.where(jnp.isnan(log_accept), -jnp.inf, log_accept)
+    accept_prob = jnp.minimum(1.0, jnp.exp(log_accept))
+    u = jax.random.uniform(k_acc, ())
+    accept = u < accept_prob
+    new_state = ChainState(
+        z=jnp.where(accept, z1, state.z),
+        logp=jnp.where(accept, logp1, state.logp),
+        grad=jnp.where(accept, grad1, state.grad),
+    )
+    return new_state, accept_prob
+
+
+class HMCResult(NamedTuple):
+    samples: jax.Array  # (chains, num_samples, dim) in LOG space
+    accept_rate: jax.Array  # (chains,)
+    step_size: jax.Array  # final adapted step size (scalar)
+    inv_mass: jax.Array  # final diagonal inverse mass (dim,)
+
+
+def _warmup_scan(logp_grad_fn, states, key, eps0, inv_mass, cfg, n_steps,
+                 target, cross_chain_mean=None):
+    """Warmup with shared dual-averaged step size across all chains (the
+    adaptation statistic is the mean acceptance over chains; with a mesh the
+    mean additionally runs over devices via psum — see sample_hmc_sharded)."""
+    mu = jnp.log(10.0 * eps0)
+    t0, gamma, kappa = 10.0, 0.05, 0.75
+
+    def step_fn(carry, key_t):
+        states, log_eps, log_eps_bar, h_bar, t = carry
+        keys = jax.random.split(key_t, states.z.shape[0])
+        eps = jnp.exp(log_eps)
+        new_states, accept_probs = jax.vmap(
+            lambda s, k: _hmc_transition(logp_grad_fn, s, k, eps, inv_mass, cfg)
+        )(states, keys)
+        mean_accept = jnp.mean(accept_probs)
+        if cross_chain_mean is not None:
+            mean_accept = cross_chain_mean(mean_accept)
+        # dual averaging
+        t = t + 1.0
+        eta_h = 1.0 / (t + t0)
+        h_bar = (1 - eta_h) * h_bar + eta_h * (target - mean_accept)
+        log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+        log_eps = jnp.minimum(log_eps, jnp.log(cfg.max_step_size))
+        eta_x = t ** (-kappa)
+        log_eps_bar = eta_x * log_eps + (1 - eta_x) * log_eps_bar
+        return (new_states, log_eps, log_eps_bar, h_bar, t), (new_states.z, mean_accept)
+
+    keys = jax.random.split(key, n_steps)
+    init = (states, jnp.log(eps0), jnp.log(eps0), jnp.asarray(0.0, states.z.dtype), jnp.asarray(0.0, states.z.dtype))
+    (states, log_eps, log_eps_bar, _, _), (zs, accepts) = lax.scan(step_fn, init, keys)
+    return states, jnp.exp(log_eps_bar), zs, accepts
+
+
+def init_chains(logp_fn, z0: jax.Array) -> ChainState:
+    """z0: (chains, dim) initial positions."""
+    logp_grad = jax.vmap(jax.value_and_grad(logp_fn))
+    logp, grad = logp_grad(z0)
+    return ChainState(z=z0, logp=logp, grad=grad)
+
+
+def sample_hmc(
+    logp_fn: Callable,
+    z0: jax.Array,
+    key,
+    cfg: HMCConfig = HMCConfig(),
+    cross_chain_mean: Optional[Callable] = None,
+    cross_chain_moments: Optional[Callable] = None,
+) -> HMCResult:
+    """Run vmapped HMC chains.  z0: (chains, dim) initial positions (log
+    space).  ``cross_chain_mean`` / ``cross_chain_moments`` hooks let the
+    sharded driver combine adaptation statistics across devices (psum)."""
+    z0 = jnp.atleast_2d(jnp.asarray(z0))
+    n_chains, dim = z0.shape
+    logp_grad_fn = jax.value_and_grad(logp_fn)
+
+    states = init_chains(logp_fn, z0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    inv_mass = jnp.ones((dim,), z0.dtype)
+    n_w1 = max(cfg.num_warmup // 2, 1)
+    n_w2 = max(cfg.num_warmup - n_w1, 1)
+
+    # warmup stage 1: adapt step size under unit mass
+    states, eps1, zs1, _ = _warmup_scan(
+        logp_grad_fn, states, k1, jnp.asarray(cfg.initial_step_size, z0.dtype),
+        inv_mass, cfg, n_w1, cfg.target_accept, cross_chain_mean
+    )
+
+    # mass estimation from the second half of stage-1 draws (all chains)
+    tail = zs1[n_w1 // 2 :]  # (t, chains, dim)
+    flat = tail.reshape(-1, dim)
+    mean = jnp.mean(flat, axis=0)
+    var = jnp.mean((flat - mean) ** 2, axis=0)
+    if cross_chain_moments is not None:
+        mean, var = cross_chain_moments(mean, var)
+    # regularized like Stan: shrink toward unit
+    w = flat.shape[0]
+    var = (w / (w + 5.0)) * var + (5.0 / (w + 5.0)) * 1e-3
+    inv_mass = var  # inverse mass = posterior variance estimate
+
+    # warmup stage 2: re-adapt step size under the new metric
+    states, eps2, _, _ = _warmup_scan(
+        logp_grad_fn, states, k2, eps1, inv_mass, cfg, n_w2,
+        cfg.target_accept, cross_chain_mean
+    )
+
+    # sampling
+    def sample_step(states, key_t):
+        keys = jax.random.split(key_t, n_chains)
+        new_states, accept_probs = jax.vmap(
+            lambda s, k: _hmc_transition(logp_grad_fn, s, k, eps2, inv_mass, cfg)
+        )(states, keys)
+        return new_states, (new_states.z, accept_probs)
+
+    keys = jax.random.split(k3, cfg.num_samples)
+    states, (zs, accepts) = lax.scan(sample_step, states, keys)
+
+    samples = jnp.swapaxes(zs, 0, 1)  # (chains, T, dim)
+    return HMCResult(
+        samples=samples,
+        accept_rate=jnp.mean(accepts, axis=0),
+        step_size=eps2,
+        inv_mass=inv_mass,
+    )
+
+
+# ---------------------------------------------------------------------------
+# diagnostics
+# ---------------------------------------------------------------------------
+
+def split_rhat(samples: jax.Array) -> jax.Array:
+    """Split-R-hat per dimension.  samples: (chains, T, dim)."""
+    c, t, d = samples.shape
+    half = t // 2
+    x = jnp.concatenate([samples[:, :half], samples[:, half : 2 * half]], axis=0)
+    m, n = x.shape[0], x.shape[1]
+    chain_mean = jnp.mean(x, axis=1)  # (m, d)
+    chain_var = jnp.var(x, axis=1, ddof=1)  # (m, d)
+    B = n * jnp.var(chain_mean, axis=0, ddof=1)
+    W = jnp.mean(chain_var, axis=0)
+    var_hat = (n - 1) / n * W + B / n
+    return jnp.sqrt(var_hat / W)
+
+
+def effective_sample_size(samples: jax.Array, max_lag: int = 100) -> jax.Array:
+    """Bulk ESS per dimension via autocorrelation (Geyer initial positive
+    sequence, truncated at max_lag).  samples: (chains, T, dim)."""
+    c, t, d = samples.shape
+    x = samples - jnp.mean(samples, axis=1, keepdims=True)
+    max_lag = min(max_lag, t - 1)
+
+    # static python loop over lags (max_lag is a static int; XLA fuses the
+    # shifted products into one program)
+    acovs = jnp.stack(
+        [jnp.mean(x[:, : t - lag] * x[:, lag:], axis=(0, 1)) for lag in range(max_lag)]
+    )  # (max_lag, d)
+    rho = acovs / acovs[0]
+    # truncate at first negative autocorrelation
+    positive = jnp.cumprod(rho > 0, axis=0).astype(samples.dtype)
+    tau = 1.0 + 2.0 * jnp.sum(rho[1:] * positive[1:], axis=0)
+    return c * t / jnp.maximum(tau, 1.0)
+
+
+def posterior_summary(samples: jax.Array):
+    """(mean, std, rhat, ess) over chains x draws, in NATURAL space
+    theta = exp(z)."""
+    theta = jnp.exp(samples)
+    flat = theta.reshape(-1, theta.shape[-1])
+    return {
+        "mean": jnp.mean(flat, axis=0),
+        "std": jnp.std(flat, axis=0),
+        "rhat": split_rhat(samples),
+        "ess": effective_sample_size(samples),
+    }

@@ -1,0 +1,130 @@
+"""Multi-chip / multi-host HMC: chains sharded over a device mesh.
+
+This is the framework's distributed-communication layer — the TPU-native
+equivalent of what the reference simply does not have (SURVEY.md §2.6/§5.8:
+the reference is single-process OpenMP; its only cross-process transport is
+files).  Design per BASELINE.json's north star:
+
+  * a 1-D ``jax.sharding.Mesh`` over all devices (axis "chains");
+  * each device runs `chains_per_device` vmapped HMC chains;
+  * step-size and mass-matrix adaptation statistics are combined across ALL
+    devices with ``psum``/``pmean`` collectives — over ICI within a slice,
+    DCN across hosts (jax.distributed handles the transport);
+  * results come back as one global array sharded over the mesh.
+
+On CPU this is exercised with ``--xla_force_host_platform_device_count=N``;
+on real hardware the same code spans a v5p slice unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..inference import hmc as hmc_mod
+
+
+def default_mesh(n_devices: Optional[int] = None, axis: str = "chains") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def initialize_distributed(coordinator: Optional[str] = None, **kw) -> None:
+    """Multi-host bring-up (jax.distributed.initialize); no-op when running
+    single-process.  The reference has no equivalent — its multi-'process'
+    story is os.system + files (SURVEY.md §3.5)."""
+    if coordinator is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator, **kw)
+
+
+def sample_hmc_sharded(
+    logp_fn: Callable,
+    z0,
+    key,
+    cfg: hmc_mod.HMCConfig = hmc_mod.HMCConfig(),
+    mesh: Optional[Mesh] = None,
+    axis: str = "chains",
+) -> hmc_mod.HMCResult:
+    """Run HMC with the chain dimension sharded over ``mesh``.
+
+    ``z0``: (num_chains, dim) — num_chains must be divisible by the mesh
+    size.  Step-size adaptation uses the acceptance rate pmean'ed over the
+    whole mesh; the mass matrix is estimated from warmup draws of ALL chains
+    via psum'd moments, so every device ends up with the identical adapted
+    kernel (deterministic across shardings)."""
+    if mesh is None:
+        mesh = default_mesh(axis=axis)
+    n_dev = mesh.devices.size
+    z0 = jnp.atleast_2d(jnp.asarray(z0))
+    n_chains, dim = z0.shape
+    if n_chains % n_dev != 0:
+        raise ValueError(
+            f"num_chains ({n_chains}) must be divisible by mesh size ({n_dev})"
+        )
+
+    def _pmoments(mean, var, axis_name):
+        # combine per-device (mean, var) into global moments:
+        # E[x] = pmean(mean); Var[x] = pmean(var + mean^2) - E[x]^2
+        g_mean = lax.pmean(mean, axis_name)
+        g_var = lax.pmean(var + mean**2, axis_name) - g_mean**2
+        return g_mean, jnp.maximum(g_var, 1e-12)
+
+    def shard_fn(z_local, key_local):
+        res = hmc_mod.sample_hmc(
+            logp_fn,
+            z_local,
+            key_local[0],
+            cfg,
+            cross_chain_mean=lambda x: lax.pmean(x, axis),
+            cross_chain_moments=lambda m, v: _pmoments(m, v, axis),
+        )
+        # reshape replicated scalars/vectors so they concatenate along the
+        # mesh axis (one copy per device; identical values by construction)
+        return hmc_mod.HMCResult(
+            samples=res.samples,
+            accept_rate=res.accept_rate,
+            step_size=res.step_size.reshape(1),
+            inv_mass=res.inv_mass.reshape(1, -1),
+        )
+
+    keys = jax.random.split(key, n_dev)
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=hmc_mod.HMCResult(
+            samples=P(axis, None, None),
+            accept_rate=P(axis),
+            step_size=P(axis),
+            inv_mass=P(axis, None),
+        ),
+    )
+
+    res = mapped(z0, keys)
+    return hmc_mod.HMCResult(
+        samples=res.samples,
+        accept_rate=res.accept_rate,
+        step_size=res.step_size[0],
+        inv_mass=res.inv_mass[0],
+    )
+
+
+def chain_scaling_efficiency(samples_per_sec: dict) -> dict:
+    """Given {n_devices: samples/s}, report scaling efficiency vs linear —
+    the BASELINE.json metric (>= 80% linear 1 -> 2 hosts)."""
+    base = samples_per_sec.get(1)
+    if base is None:
+        return {}
+    return {
+        n: (v / (base * n)) for n, v in samples_per_sec.items() if n != 1
+    }

@@ -1,0 +1,111 @@
+"""HMC tests: correctness on analytic targets, GP hyperparameter posteriors
+vs MAP point estimates (reference MaximumAPosterioriTest semantics), and
+multi-device chain sharding with psum'd adaptation (8 virtual CPU devices).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gpr_tpu as gt
+from gpr_tpu.inference import hmc as hm
+from gpr_tpu.inference import priors as pr
+from gpr_tpu.inference.optimize import fit_map
+from gpr_tpu.parallel import sharded_hmc as sh
+
+
+def test_hmc_standard_normal():
+    """HMC recovers moments of an analytic Gaussian target."""
+    mu = jnp.asarray([1.0, -2.0, 0.5])
+    sd = jnp.asarray([0.5, 1.5, 1.0])
+
+    def logp(z):
+        return -0.5 * jnp.sum(((z - mu) / sd) ** 2)
+
+    cfg = hm.HMCConfig(num_warmup=300, num_samples=600, num_leapfrog=8)
+    z0 = jnp.zeros((4, 3))
+    res = hm.sample_hmc(logp, z0, jax.random.PRNGKey(0), cfg)
+    flat = np.asarray(res.samples).reshape(-1, 3)
+    np.testing.assert_allclose(flat.mean(0), np.asarray(mu), atol=0.15)
+    np.testing.assert_allclose(flat.std(0), np.asarray(sd), atol=0.2)
+    # acceptance near the 0.8 target
+    assert 0.5 < float(np.mean(np.asarray(res.accept_rate))) <= 1.0
+    # diagnostics behave
+    rhat = np.asarray(hm.split_rhat(res.samples))
+    assert np.all(rhat < 1.1), rhat
+    ess = np.asarray(hm.effective_sample_size(res.samples))
+    assert np.all(ess > 100), ess
+
+
+def test_hmc_gp_posterior_mode_matches_map(rng):
+    """The HMC posterior over GP hyperparameters concentrates near the MAP
+    point estimate (the reference's MaximumAPosterioriTest recovers its
+    parameters by Gauss-Newton; here the full posterior must agree within
+    Monte-Carlo error — BASELINE.json north-star check)."""
+    n = 12
+    xs = np.arange(n) * 2 * math.pi / n
+    X, Y = xs[:, None], (np.sin(xs) + 0.05 * rng.standard_normal(n))[:, None]
+    sigma = 0.1
+    priors = [
+        pr.LogGaussianDensity.from_mode_and_variance(2.0, 1.0),
+        pr.LogGaussianDensity.from_mode_and_variance(1.0, 0.5),
+    ]
+    kernel = gt.Gaussian(1.5, 1.0)
+
+    kmap, _ = fit_map(kernel, X, Y, sigma, priors, iterations=400, learning_rate=0.02)
+    map_params = np.array([float(p) for p in kmap.params])
+
+    logp = hm.make_gp_log_posterior(kernel, X, Y, sigma, priors)
+    z0 = jnp.log(jnp.asarray([[1.5, 1.0]] * 4)) + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(1), (4, 2)
+    )
+    cfg = hm.HMCConfig(num_warmup=300, num_samples=400, num_leapfrog=12)
+    res = hm.sample_hmc(logp, z0, jax.random.PRNGKey(2), cfg)
+    summ = hm.posterior_summary(res.samples)
+    post_mean = np.asarray(summ["mean"])
+    post_std = np.asarray(summ["std"])
+    # MAP lies within ~2.5 posterior std of the posterior mean
+    assert np.all(np.abs(post_mean - map_params) < 2.5 * post_std + 0.3), (
+        post_mean,
+        post_std,
+        map_params,
+    )
+    assert np.all(np.asarray(summ["rhat"]) < 1.2)
+
+
+def test_sharded_hmc_runs_on_mesh():
+    """Chains sharded over the 8-device CPU mesh; psum'd adaptation gives
+    every device the same step size; moments match the target."""
+    mu = jnp.asarray([0.5, -1.0])
+    sd = jnp.asarray([1.0, 0.7])
+
+    def logp(z):
+        return -0.5 * jnp.sum(((z - mu) / sd) ** 2)
+
+    mesh = sh.default_mesh()
+    assert mesh.devices.size == 8
+    cfg = hm.HMCConfig(num_warmup=200, num_samples=300, num_leapfrog=8)
+    z0 = jnp.zeros((16, 2))  # 2 chains per device
+    res = sh.sample_hmc_sharded(logp, z0, jax.random.PRNGKey(0), cfg, mesh=mesh)
+    assert res.samples.shape == (16, 300, 2)
+    flat = np.asarray(res.samples).reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(0), np.asarray(mu), atol=0.15)
+    np.testing.assert_allclose(flat.std(0), np.asarray(sd), atol=0.2)
+    assert float(res.step_size) > 0
+
+
+def test_sharded_chain_count_must_divide():
+    def logp(z):
+        return -0.5 * jnp.sum(z**2)
+
+    with pytest.raises(ValueError):
+        sh.sample_hmc_sharded(logp, jnp.zeros((3, 2)), jax.random.PRNGKey(0))
+
+
+def test_scaling_efficiency_helper():
+    eff = sh.chain_scaling_efficiency({1: 100.0, 2: 180.0, 4: 300.0})
+    assert abs(eff[2] - 0.9) < 1e-12
+    assert abs(eff[4] - 0.75) < 1e-12
