@@ -1,0 +1,102 @@
+"""Headline benchmark: exact-GP fit (Gram + Cholesky + solve) throughput.
+
+Measures the reference's learning hot path (reference
+lib/GaussianProcess.cpp:641-672: O(n^2 d) Gram build + O(n^3) factorization)
+at the BASELINE.json north-star size n=16k on one chip, and reports achieved
+TFLOP/s.  ``vs_baseline`` is achieved utilization of the chip's *measured*
+matmul speed-of-light divided by the 0.70 north-star target — >= 1.0 means
+the "Gram+Cholesky >= 70% MXU" goal is met.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _time_fn(fn, *args, iters=3):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gpr_tpu.gp import exact
+    from gpr_tpu.kernels import kernels as kermod
+    from gpr_tpu.ops import linalg
+    import gpr_tpu
+
+    backend = jax.default_backend()
+    on_accel = backend not in ("cpu",)
+    n = 16384 if on_accel else 2048
+    d, q = 128, 8
+    dtype = jnp.float32
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.standard_normal((n, d)), dtype)
+    Y = jnp.asarray(rng.standard_normal((n, q)), dtype)
+    kernel = gpr_tpu.Gaussian(jnp.asarray(8.0, dtype), jnp.asarray(1.0, dtype))
+    sigma = jnp.asarray(0.1, dtype)
+
+    @jax.jit
+    def fit_step(X, Y, sigma):
+        K = kermod.gram(kernel, X)
+        K = linalg.add_diagonal(K, sigma**2)
+        L = jnp.linalg.cholesky(K)
+        alpha = linalg.cho_solve(L, Y)
+        return L, alpha
+
+    t_fit = _time_fn(fit_step, X, Y, sigma)
+
+    # FLOP model: Gram GEMM 2n^2 d, Cholesky n^3/3, two triangular solves 2n^2 q
+    flops = 2.0 * n * n * d + n**3 / 3.0 + 2.0 * n * n * q
+    tflops = flops / t_fit / 1e12
+
+    # measured matmul speed-of-light on this chip (same dtype, MXU-shaped)
+    m = 8192 if on_accel else 1024
+    A = jnp.asarray(rng.standard_normal((m, m)), dtype)
+    B = jnp.asarray(rng.standard_normal((m, m)), dtype)
+    matmul = jax.jit(lambda a, b: a @ b)
+    t_mm = _time_fn(matmul, A, B)
+    peak_tflops = 2.0 * m**3 / t_mm / 1e12
+
+    utilization = tflops / peak_tflops
+    vs_baseline = utilization / 0.70  # north-star: >=70% of matmul peak
+
+    print(
+        json.dumps(
+            {
+                "metric": f"gp_fit_gram_cholesky_n{n}",
+                "value": round(tflops, 3),
+                "unit": "TFLOP/s",
+                "vs_baseline": round(vs_baseline, 4),
+                "detail": {
+                    "backend": backend,
+                    "n": n,
+                    "d": d,
+                    "fit_seconds": round(t_fit, 5),
+                    "matmul_peak_tflops": round(peak_tflops, 2),
+                    "mxu_utilization": round(utilization, 4),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -65,8 +65,8 @@ class GP:
         """Posterior mean.  Accepts one point (d,) -> (q,), or a batch
         (m, d) -> (m, q).  (reference lib/GaussianProcess.cpp:53-61)"""
         Xs_arr = jnp.asarray(Xs)
-        single = Xs_arr.ndim <= 1 and self.X.shape[1] >= 1
         Xs2 = self._check_input(Xs_arr)
+        single = Xs_arr.ndim <= 1 and Xs2.shape[0] == 1
         Ks = kermod.gram(self.kernel, Xs2, self.X)  # (m, n)
         mean = Ks @ self.alpha
         return mean[0] if single else mean
@@ -105,10 +105,11 @@ class GP:
         """2 sqrt(max(0, gp(x,x))) with the reference's negative-variance
         clamp (lib/GaussianProcess.cpp:101-114)."""
         x = jnp.asarray(x)
-        if x.ndim <= 1:
-            c = self.posterior_cov(x, x)
+        x2 = self._check_input(x)
+        if x.ndim <= 1 and x2.shape[0] == 1:
+            c = self.posterior_cov(x2[0], x2[0])
             return 2.0 * jnp.sqrt(jnp.maximum(0.0, c))
-        var = self.posterior_var(x)
+        var = self.posterior_var(x2)
         return 2.0 * jnp.sqrt(jnp.maximum(0.0, var))
 
     def sample_posterior(self, key, Xs, num_samples: int = 1, jitter: float = 1e-10):
@@ -130,6 +131,8 @@ class GP:
     def _check_input(self, x: jax.Array) -> jax.Array:
         x = jnp.atleast_1d(x)
         if x.ndim == 1:
+            if self.X.shape[1] == 1 and x.shape[0] != 1:
+                return x[:, None]  # batch of scalar inputs on a 1-d GP
             if x.shape[0] != self.X.shape[1]:
                 raise ValueError(
                     f"GaussianProcess::Predict: dimension of input vector "
