@@ -19,15 +19,14 @@ import numpy as np
 
 
 def _time_fn(fn, *args, iters=3):
-    import jax
-
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile
+    """Min wall-clock over iters.  The function must return a SCALAR, which
+    we fetch to host — ``block_until_ready`` alone does not synchronize on
+    the remote-TPU (axon) backend, so timing must round-trip a value."""
+    float(fn(*args))  # compile + warm
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        float(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -41,9 +40,13 @@ def main():
     from gpr_tpu.ops import linalg
     import gpr_tpu
 
+    import os
+    import sys
+
     backend = jax.default_backend()
     on_accel = backend not in ("cpu",)
-    n = 16384 if on_accel else 2048
+    n = int(os.environ.get("BENCH_N", 16384 if on_accel else 2048))
+    print(f"bench: backend={backend} n={n}", file=sys.stderr)
     d, q = 128, 8
     dtype = jnp.float32
 
@@ -59,7 +62,9 @@ def main():
         K = linalg.add_diagonal(K, sigma**2)
         L = jnp.linalg.cholesky(K)
         alpha = linalg.cho_solve(L, Y)
-        return L, alpha
+        # scalar fan-in forces the whole pipeline to execute before timing
+        # stops; contributes O(n^2) extra flops, negligible vs n^3/3
+        return jnp.sum(L[-1]) + jnp.sum(alpha[-1])
 
     t_fit = _time_fn(fit_step, X, Y, sigma)
 
@@ -71,7 +76,7 @@ def main():
     m = 8192 if on_accel else 1024
     A = jnp.asarray(rng.standard_normal((m, m)), dtype)
     B = jnp.asarray(rng.standard_normal((m, m)), dtype)
-    matmul = jax.jit(lambda a, b: a @ b)
+    matmul = jax.jit(lambda a, b: jnp.sum((a @ b)[-1]))
     t_mm = _time_fn(matmul, A, B)
     peak_tflops = 2.0 * m**3 / t_mm / 1e12
 
