@@ -60,7 +60,7 @@ def main():
     def fit_step(X, Y, sigma):
         K = kermod.gram(kernel, X)
         K = linalg.add_diagonal(K, sigma**2)
-        L = jnp.linalg.cholesky(K)
+        L = linalg.chol_lower(K)
         alpha = linalg.cho_solve(L, Y)
         # scalar fan-in forces the whole pipeline to execute before timing
         # stops; contributes O(n^2) extra flops, negligible vs n^3/3

@@ -1,0 +1,3 @@
+"""Kernel algebra: base kernels, combinators, DSL, composite builders."""
+
+from . import dsl, kernels, utils  # noqa: F401

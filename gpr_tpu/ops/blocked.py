@@ -1,0 +1,90 @@
+"""Blocked (recursive) Cholesky + triangular solve for TPU.
+
+XLA's stock ``jnp.linalg.cholesky`` on TPU is latency-dominated: its inner
+loop factorizes narrow panels and reaches ~10% of matmul throughput at
+n=8k (measured on v5e — see bench.py).  Because shapes are static under
+``jit`` we can instead recurse at *trace time*:
+
+    [[A11, .  ],      L11 = chol(A11)
+     [A21, A22]]  ->  L21 = A21 L11^-T            (triangular solve)
+                      L22 = chol(A22 - L21 L21^T) (trailing GEMM update)
+
+Every level splits the matrix in half, so ~2/3 of the flops land in the
+trailing-update GEMMs (pure MXU work) and the sequential part shrinks
+geometrically.  Exact flop count n^3/3 — no masking waste.  This is the
+numerics replacement for the reference's LAPACK ``dpotrf`` path
+(reference include/LAPACKUtils.h:59-73).
+
+``solve_triangular_blocked`` recurses the same way so the solve's matmul
+fraction also rides the MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _round_split(n: int, align: int = 128) -> int:
+    """Split point: half of n rounded up to the alignment (MXU tiles)."""
+    half = (n + 1) // 2
+    return min(((half + align - 1) // align) * align, n - 1) if n > align else n // 2
+
+
+def solve_triangular_blocked(
+    L: jax.Array, B: jax.Array, *, lower: bool = True, leaf: int = 256
+) -> jax.Array:
+    """X with L X = B (L lower-triangular), recursively blocked.
+
+    [[L11,  0 ], [X1]   [B1]      X1 = L11^-1 B1
+     [L21, L22]] [X2] = [B2]  ->  X2 = L22^-1 (B2 - L21 X1)
+    """
+    if not lower:
+        # U X = B with U upper: solve via the lower-triangular routine on
+        # the flipped problem (reverse both axes)
+        Lf = L[::-1, ::-1]
+        Bf = B[::-1] if B.ndim > 1 else B[::-1]
+        Xf = solve_triangular_blocked(Lf, Bf, lower=True, leaf=leaf)
+        return Xf[::-1]
+
+    n = L.shape[0]
+    if n <= leaf:
+        return jax.scipy.linalg.solve_triangular(L, B, lower=True)
+    m = _round_split(n)
+    L11, L21, L22 = L[:m, :m], L[m:, :m], L[m:, m:]
+    B1, B2 = B[:m], B[m:]
+    X1 = solve_triangular_blocked(L11, B1, lower=True, leaf=leaf)
+    rhs = B2 - jnp.matmul(L21, X1, preferred_element_type=B.dtype)
+    X2 = solve_triangular_blocked(L22, rhs, lower=True, leaf=leaf)
+    return jnp.concatenate([X1, X2], axis=0)
+
+
+def cholesky_blocked(A: jax.Array, *, leaf: int = 256) -> jax.Array:
+    """Lower Cholesky factor of SPD ``A`` by trace-time recursion."""
+    n = A.shape[0]
+    if n <= leaf:
+        return jnp.linalg.cholesky(A)
+    m = _round_split(n)
+    A11 = A[:m, :m]
+    A21 = A[m:, :m]
+    A22 = A[m:, m:]
+    L11 = cholesky_blocked(A11, leaf=leaf)
+    # L21 = A21 L11^-T  ==  (L11^-1 A21^T)^T
+    L21 = solve_triangular_blocked(L11, A21.T, lower=True, leaf=leaf).T
+    S22 = A22 - jnp.matmul(L21, L21.T, preferred_element_type=A.dtype)
+    S22 = 0.5 * (S22 + S22.T)
+    L22 = cholesky_blocked(S22, leaf=leaf)
+    top = jnp.concatenate([L11, jnp.zeros((m, n - m), A.dtype)], axis=1)
+    bot = jnp.concatenate([L21, L22], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def cho_solve_blocked(L: jax.Array, B: jax.Array, *, leaf: int = 256) -> jax.Array:
+    """Solve A X = B given A = L L^T (blocked forward + backward solves)."""
+    Y = solve_triangular_blocked(L, B, lower=True, leaf=leaf)
+    # L^T X = Y: upper-triangular solve via the flip trick
+    Lt = L.T
+    Xf = solve_triangular_blocked(
+        Lt[::-1, ::-1], Y[::-1], lower=True, leaf=leaf
+    )
+    return Xf[::-1]

@@ -50,6 +50,22 @@ def add_diagonal(A: jax.Array, value) -> jax.Array:
     return A.at[..., idx, idx].add(value)
 
 
+# size above which the recursive blocked Cholesky/solves (ops/blocked.py)
+# beat XLA's stock primitives on TPU (measured v5e: 1.6x at n=16k, and an
+# order of magnitude less compile time)
+_BLOCKED_MIN_N = 1024
+
+
+def chol_lower(A: jax.Array) -> jax.Array:
+    """Lower Cholesky factor, dispatching to the blocked kernel for large
+    single matrices (batched inputs use the stock primitive)."""
+    if A.ndim == 2 and A.shape[0] >= _BLOCKED_MIN_N:
+        from .blocked import cholesky_blocked
+
+        return cholesky_blocked(A)
+    return jnp.linalg.cholesky(A)
+
+
 def safe_cholesky(
     A: jax.Array,
     initial_jitter: float = 0.0,
@@ -78,7 +94,7 @@ def safe_cholesky(
     base = jnp.where(initial_jitter > 0, initial_jitter, eps * jnp.maximum(diag_mean, 1.0))
 
     def ok_at(j):
-        L = jnp.linalg.cholesky(add_diagonal(A_ng, j))
+        L = chol_lower(add_diagonal(A_ng, j))
         return jnp.all(jnp.isfinite(L))
 
     def cond(state):
@@ -95,12 +111,16 @@ def safe_cholesky(
     jitter_used = jnp.where(ok0, jnp.zeros_like(j), j)
 
     # --- phase 2: one differentiable factorization --------------------------
-    L = jnp.linalg.cholesky(add_diagonal(A, jitter_used))
+    L = chol_lower(add_diagonal(A, jitter_used))
     return L, jitter_used
 
 
 def cho_solve(L: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve A x = b where A = L L^T."""
+    """Solve A x = b where A = L L^T (blocked solves for large factors)."""
+    if L.ndim == 2 and L.shape[0] >= _BLOCKED_MIN_N:
+        from .blocked import cho_solve_blocked
+
+        return cho_solve_blocked(L, b)
     y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
     return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
 

@@ -1,0 +1,136 @@
+"""Pallas fused Gram-matrix kernel for isotropic (RBF-family) kernels.
+
+One pass over HBM: each (bm, bn) tile of K is produced by an MXU GEMM for
+the cross term plus VPU epilogue (squared-distance assembly + exp) without
+ever materializing the distance matrix — the TPU-native replacement for the
+reference's OpenMP pairwise loop (reference lib/GaussianProcess.cpp:384-402)
+and the fusion XLA cannot always prove safe across the ``max(d2, 0)`` clamp.
+
+Supports the Gaussian kernel  k = scale^2 exp(-0.5 d2 / sigma^2)  and the
+RationalQuadratic  k = scale^2 (1 + d2/(2 alpha sigma^2))^-alpha.
+
+The contraction dimension is zero-padded to the 128-lane boundary (zeros do
+not change distances).  Inputs may be bf16 (MXU fast path) — the cross-term
+GEMM always accumulates in f32 and the epilogue runs in f32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pad_axis(a: jax.Array, axis: int, mult: int) -> jax.Array:
+    size = a.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(a, widths)
+
+
+def _gram_kernel(params_ref, x_ref, y_ref, o_ref, *, form: str):
+    """One (bm, bn) tile: d2 = |x|^2 + |y|^2 - 2 x.y, then the RBF form."""
+    x = x_ref[:]
+    y = y_ref[:]
+    xy = jax.lax.dot_general(
+        x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    xx = jnp.sum(xf * xf, axis=1, keepdims=True)  # (bm, 1)
+    yy = jnp.sum(yf * yf, axis=1, keepdims=True)  # (bn, 1)
+    d2 = jnp.maximum(xx + yy.T - 2.0 * xy, 0.0)
+    sigma = params_ref[0]
+    scale = params_ref[1]
+    if form == "gaussian":
+        o_ref[:] = (scale * scale) * jnp.exp(-0.5 * d2 / (sigma * sigma))
+    elif form == "rq":
+        alpha = params_ref[2]
+        o_ref[:] = (scale * scale) * (
+            1.0 + 0.5 * d2 / (sigma * sigma * alpha)
+        ) ** (-alpha)
+    else:  # raw squared distances
+        o_ref[:] = d2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("form", "bm", "bn", "interpret")
+)
+def gram_pallas(
+    X: jax.Array,
+    Y: jax.Array,
+    sigma=1.0,
+    scale=1.0,
+    alpha=1.0,
+    *,
+    form: str = "gaussian",
+    bm: int = 256,
+    bn: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """K[i, j] = k(X[i], Y[j]) for the given RBF form, f32 output.
+
+    X (n, d), Y (m, d); n, m are zero-padded up to the tile size and the
+    result is cropped — zero-padded *rows* produce garbage entries only in
+    the cropped region.  Use ``interpret=True`` on CPU."""
+    n, d = X.shape
+    m = Y.shape[0]
+    Xp = _pad_axis(_pad_axis(X, 1, 128), 0, bm)
+    Yp = _pad_axis(_pad_axis(Y, 1, 128), 0, bn)
+    np_, dp = Xp.shape
+    mp = Yp.shape[0]
+
+    params = jnp.stack(
+        [
+            jnp.asarray(sigma, jnp.float32),
+            jnp.asarray(scale, jnp.float32),
+            jnp.asarray(alpha, jnp.float32),
+        ]
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_gram_kernel, form=form),
+        out_shape=jax.ShapeDtypeStruct((np_, mp), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(np_ // bm, mp // bn),
+            in_specs=[
+                pl.BlockSpec((bm, dp), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((bn, dp), lambda i, j, *_: (j, 0)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, *_: (i, j)),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * mp * dp + 6 * np_ * mp,
+            bytes_accessed=int(
+                Xp.size * Xp.dtype.itemsize
+                + Yp.size * Yp.dtype.itemsize
+                + np_ * mp * 4
+            ),
+            transcendentals=np_ * mp,
+        ),
+        interpret=interpret,
+    )(params, Xp, Yp)
+    return out[:n, :m]
+
+
+def gaussian_gram(
+    X, Y=None, sigma=1.0, scale=1.0, *, dtype=None, interpret: Optional[bool] = None
+) -> jax.Array:
+    """Convenience wrapper: symmetric if Y is None; optional bf16 inputs for
+    the MXU fast path (accumulation stays f32)."""
+    X = jnp.asarray(X)
+    Y = X if Y is None else jnp.asarray(Y)
+    if dtype is not None:
+        X = X.astype(dtype)
+        Y = Y.astype(dtype)
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    return gram_pallas(X, Y, sigma, scale, form="gaussian", interpret=interpret)

@@ -1,0 +1,140 @@
+"""Numerics-backend tests: safe Cholesky, blocked Cholesky/solves, Pallas
+Gram (interpret mode), pinv — the rebuild's analogue of the reference's
+InversionMethodsTest/LAPACKTest (Eigen-vs-LAPACK cross-validation becomes
+blocked-vs-stock and pallas-vs-XLA cross-checks)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gpr_tpu.ops import linalg
+from gpr_tpu.ops.blocked import (
+    cho_solve_blocked,
+    cholesky_blocked,
+    solve_triangular_blocked,
+)
+from gpr_tpu.ops.pallas_gram import gaussian_gram, gram_pallas
+from gpr_tpu.kernels.kernels import Gaussian, RationalQuadratic, gram
+
+
+def _spd(n, seed=0, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, n)).astype(dtype)
+    return A @ A.T + n * np.eye(n, dtype=dtype)
+
+
+class TestBlockedCholesky:
+    @pytest.mark.parametrize("n", [32, 256, 300, 777, 1024])
+    def test_matches_stock(self, n):
+        A = _spd(n)
+        L = np.asarray(cholesky_blocked(jnp.asarray(A)))
+        Lref = np.linalg.cholesky(A)
+        np.testing.assert_allclose(L, Lref, atol=1e-9 * n)
+
+    @pytest.mark.parametrize("n", [64, 500])
+    def test_solve_triangular(self, n):
+        A = _spd(n, seed=1)
+        L = np.linalg.cholesky(A)
+        B = np.random.default_rng(2).standard_normal((n, 4))
+        X = np.asarray(solve_triangular_blocked(jnp.asarray(L), jnp.asarray(B)))
+        np.testing.assert_allclose(L @ X, B, atol=1e-8)
+
+    def test_solve_triangular_upper(self):
+        A = _spd(96, seed=3)
+        U = np.linalg.cholesky(A).T
+        B = np.random.default_rng(4).standard_normal((96, 3))
+        X = np.asarray(
+            solve_triangular_blocked(jnp.asarray(U), jnp.asarray(B), lower=False)
+        )
+        np.testing.assert_allclose(U @ X, B, atol=1e-8)
+
+    @pytest.mark.parametrize("n", [50, 600])
+    def test_cho_solve(self, n):
+        A = _spd(n, seed=5)
+        L = np.asarray(cholesky_blocked(jnp.asarray(A)))
+        B = np.random.default_rng(6).standard_normal((n, 2))
+        X = np.asarray(cho_solve_blocked(jnp.asarray(L), jnp.asarray(B)))
+        np.testing.assert_allclose(A @ X, B, atol=1e-7)
+
+    def test_gradients_flow(self):
+        """The blocked factorization is differentiable (trace-time recursion
+        over stock primitives)."""
+        A = jnp.asarray(_spd(40, seed=7))
+
+        def f(a):
+            L = cholesky_blocked(a)
+            return jnp.sum(jnp.log(jnp.diagonal(L)))  # 0.5 logdet
+
+        g = jax.grad(f)(A)
+        g_ref = jax.grad(lambda a: 0.5 * jnp.linalg.slogdet(a)[1])(A)
+        sym = 0.5 * (g + g.T)  # cholesky grad is lower-triangular-biased
+        np.testing.assert_allclose(np.asarray(sym), np.asarray(g_ref), atol=1e-8)
+
+
+class TestPallasGram:
+    def test_gaussian_matches_xla(self):
+        rng = np.random.default_rng(0)
+        X = rng.standard_normal((70, 5)).astype(np.float32)
+        Y = rng.standard_normal((45, 5)).astype(np.float32)
+        K1 = np.asarray(
+            gram_pallas(jnp.asarray(X), jnp.asarray(Y), 1.7, 0.9, interpret=True)
+        )
+        K2 = np.asarray(gram(Gaussian(1.7, 0.9), jnp.asarray(X), jnp.asarray(Y)))
+        np.testing.assert_allclose(K1, K2, atol=1e-5)
+
+    def test_rq_matches_xla(self):
+        rng = np.random.default_rng(1)
+        X = rng.standard_normal((30, 3)).astype(np.float32)
+        K1 = np.asarray(
+            gram_pallas(
+                jnp.asarray(X), jnp.asarray(X), 1.1, 0.8, 2.0, form="rq",
+                interpret=True,
+            )
+        )
+        K2 = np.asarray(
+            gram(RationalQuadratic(0.8, 1.1, 2.0), jnp.asarray(X))
+        )
+        np.testing.assert_allclose(K1, K2, atol=1e-5)
+
+    def test_sqdist_form(self):
+        rng = np.random.default_rng(2)
+        X = rng.standard_normal((20, 4)).astype(np.float32)
+        D = np.asarray(
+            gram_pallas(jnp.asarray(X), jnp.asarray(X), form="sqdist", interpret=True)
+        )
+        ref = ((X[:, None] - X[None]) ** 2).sum(-1)
+        np.testing.assert_allclose(D, ref, atol=1e-4)
+
+    def test_padding_boundaries(self):
+        """Sizes straddling tile boundaries must crop cleanly."""
+        rng = np.random.default_rng(3)
+        for n, m in ((255, 257), (256, 256), (1, 300)):
+            X = rng.standard_normal((n, 2)).astype(np.float32)
+            Y = rng.standard_normal((m, 2)).astype(np.float32)
+            K = np.asarray(
+                gaussian_gram(X, Y, sigma=1.0, scale=1.0, interpret=True)
+            )
+            assert K.shape == (n, m)
+            K2 = np.asarray(gram(Gaussian(1.0, 1.0), jnp.asarray(X), jnp.asarray(Y)))
+            np.testing.assert_allclose(K, K2, atol=1e-5)
+
+
+class TestSafeCholesky:
+    def test_jitter_escalation_on_singular(self):
+        """Rank-deficient matrix: factorization succeeds with escalated
+        jitter (replaces the reference's LAPACK-exception fallback chain,
+        lib/GaussianProcess.cpp:545-559)."""
+        v = np.ones((5, 1))
+        A = jnp.asarray(v @ v.T)  # rank 1
+        L, jitter = linalg.safe_cholesky(A)
+        assert bool(jnp.all(jnp.isfinite(L)))
+        assert float(jitter) > 0
+
+    def test_no_jitter_on_good_matrix(self):
+        A = jnp.asarray(_spd(20, seed=8))
+        L, jitter = linalg.safe_cholesky(A)
+        assert float(jitter) == 0.0
+        np.testing.assert_allclose(
+            np.asarray(L @ L.T), np.asarray(A), atol=1e-8
+        )

@@ -1,0 +1,81 @@
+"""Multi-device distributed linalg tests (8 virtual CPU devices).
+
+The reference has nothing distributed to test (SURVEY.md §4 "what does NOT
+exist"); these tests cover the TPU-native scale-out the rebuild adds:
+row-sharded Gram, block-panel distributed Cholesky with ICI collectives,
+owner-compute/psum-broadcast triangular solves, and the sharded GP fit
+against its single-device reference."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gpr_tpu.kernels.kernels import Gaussian, gram
+from gpr_tpu.parallel import sharded_gram as sg
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return sg.default_mesh(8)
+
+
+def _spd(n, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, n))
+    return A @ A.T + n * np.eye(n)
+
+
+class TestShardedGram:
+    def test_matches_single_device(self, mesh):
+        rng = np.random.default_rng(0)
+        X = jnp.asarray(rng.standard_normal((64, 3)))
+        k = Gaussian(1.5, 1.0)
+        K = np.asarray(sg.sharded_gram(k, X, mesh))
+        np.testing.assert_allclose(K, np.asarray(gram(k, X)), atol=1e-12)
+
+    def test_indivisible_raises(self, mesh):
+        with pytest.raises(ValueError):
+            sg.sharded_gram(Gaussian(1.0, 1.0), jnp.zeros((30, 2)), mesh)
+
+
+class TestShardedCholesky:
+    @pytest.mark.parametrize("n", [32, 128])
+    def test_matches_numpy(self, mesh, n):
+        A = _spd(n)
+        L = np.tril(np.asarray(sg.cholesky_sharded(jnp.asarray(A), mesh)))
+        np.testing.assert_allclose(L, np.linalg.cholesky(A), atol=1e-9 * n)
+
+    def test_solve(self, mesh):
+        n = 64
+        A = _spd(n, seed=1)
+        L = np.tril(np.asarray(sg.cholesky_sharded(jnp.asarray(A), mesh)))
+        B = np.random.default_rng(2).standard_normal((n, 3))
+        X = np.asarray(sg.cho_solve_sharded(jnp.asarray(L), jnp.asarray(B), mesh))
+        np.testing.assert_allclose(A @ X, B, atol=1e-8)
+
+
+class TestShardedFit:
+    def test_matches_exact_fit(self, mesh):
+        """Sharded training must reproduce the single-device alpha and
+        logdet (the north-star 'bit-matched posterior moments' requirement
+        applied to the distributed path)."""
+        rng = np.random.default_rng(3)
+        n = 96
+        X = jnp.asarray(rng.standard_normal((n, 2)))
+        Y = jnp.asarray(rng.standard_normal((n, 2)))
+        k = Gaussian(1.2, 0.9)
+        alpha, logdet, L = sg.fit_sharded(k, X, Y, 0.3, mesh)
+
+        from gpr_tpu.gp import exact
+        from gpr_tpu.ops import linalg
+
+        gp = exact.fit(k, X, Y, sigma=0.3)
+        np.testing.assert_allclose(
+            np.asarray(alpha), np.asarray(gp.alpha), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            float(logdet), float(linalg.logdet_from_chol(gp.L)), rtol=1e-12
+        )
