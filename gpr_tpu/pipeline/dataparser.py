@@ -73,13 +73,31 @@ def list_files(path: str) -> List[str]:
 # image <-> matrix
 # ---------------------------------------------------------------------------
 
+def _native_load(filenames: Sequence[str], scale: float) -> Optional[np.ndarray]:
+    """Threaded C++ loader fast path (native/gpr_native.cpp) for directories
+    of binary VTK frames; None when unavailable/unsupported."""
+    if not all(f.endswith(".vtk") for f in filenames):
+        return None
+    from ..utils import native
+
+    if not native.available():
+        return None
+    try:
+        return native.load_vtk_dir(list(filenames), scale=scale)
+    except (IOError, RuntimeError):
+        return None  # e.g. ASCII vtk — fall back to the Python codec
+
+
 def parse_image_files(filenames: Sequence[str]) -> np.ndarray:
     """Stack scalar images into a (n_pixels, n_files) matrix with /255
     normalization (reference ParseImageFiles, DataParser.h:536-572)."""
-    first = imageio.read_image(filenames[0])
-    cols = [first.flatten().astype(np.float64) / 255.0]
-    for f in filenames[1:]:
-        cols.append(imageio.read_image(f).flatten().astype(np.float64) / 255.0)
+    fast = _native_load(filenames, 1.0 / 255.0)
+    if fast is not None:
+        return fast
+    cols = [
+        imageio.read_image(f).flatten().astype(np.float64) / 255.0
+        for f in filenames
+    ]
     return np.stack(cols, axis=1)
 
 
@@ -87,6 +105,9 @@ def parse_displacement_files(filenames: Sequence[str]) -> np.ndarray:
     """Stack DVFs into a (n_voxels * n_components, n_files) matrix with
     interleaved components (reference ParseDisplacementFiles,
     DataParser.h:574-613 — component index varies fastest)."""
+    fast = _native_load(filenames, 1.0)
+    if fast is not None:
+        return fast
     cols = [imageio.read_image(f).flatten().astype(np.float64) for f in filenames]
     return np.stack(cols, axis=1)
 
