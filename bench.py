@@ -18,17 +18,33 @@ import time
 import numpy as np
 
 
-def _time_fn(fn, *args, iters=3):
-    """Min wall-clock over iters.  The function must return a SCALAR, which
-    we fetch to host — ``block_until_ready`` alone does not synchronize on
-    the remote-TPU (axon) backend, so timing must round-trip a value."""
-    float(fn(*args))  # compile + warm
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
+def _time_scalar_fn(make_fn, *args, repeats=8, iters=3):
+    """Per-execution wall-clock of a scalar-returning op.
+
+    The remote-TPU (axon) tunnel adds a ~25 ms host round-trip per fetched
+    value and ``block_until_ready`` does not synchronize, so a single
+    invocation cannot be timed.  ``make_fn(r)`` must return a jitted
+    function that chains the op ``r`` times with a data dependence between
+    iterations (so XLA cannot CSE them); the per-op time is the slope
+    between r=1 and r=repeats, which cancels the fixed round-trip."""
+    import jax
+
+    f1 = make_fn(1)
+    fR = make_fn(repeats)
+    float(f1(*args))  # compile + warm
+    float(fR(*args))
+
+    def best_of(f):
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(f(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = best_of(f1)
+    tR = best_of(fR)
+    return max((tR - t1) / (repeats - 1), 1e-9)
 
 
 def main():
@@ -56,17 +72,22 @@ def main():
     kernel = gpr_tpu.Gaussian(jnp.asarray(8.0, dtype), jnp.asarray(1.0, dtype))
     sigma = jnp.asarray(0.1, dtype)
 
-    @jax.jit
-    def fit_step(X, Y, sigma):
-        K = kermod.gram(kernel, X)
-        K = linalg.add_diagonal(K, sigma**2)
-        L = linalg.chol_lower(K)
-        alpha = linalg.cho_solve(L, Y)
-        # scalar fan-in forces the whole pipeline to execute before timing
-        # stops; contributes O(n^2) extra flops, negligible vs n^3/3
-        return jnp.sum(L[-1]) + jnp.sum(alpha[-1])
+    def make_fit(repeats):
+        @jax.jit
+        def fit_step(X, Y, sigma):
+            out = jnp.asarray(0.0, dtype)
+            for _ in range(repeats):
+                # data dependence on `out` stops CSE across repetitions
+                K = kermod.gram(kernel, X + out * 1e-30)
+                K = linalg.add_diagonal(K, sigma**2)
+                L = linalg.chol_lower(K)
+                alpha = linalg.cho_solve(L, Y)
+                out = jnp.sum(L[-1]) + jnp.sum(alpha[-1])
+            return out
 
-    t_fit = _time_fn(fit_step, X, Y, sigma)
+        return fit_step
+
+    t_fit = _time_scalar_fn(make_fit, X, Y, sigma, repeats=4)
 
     # FLOP model: Gram GEMM 2n^2 d, Cholesky n^3/3, two triangular solves 2n^2 q
     flops = 2.0 * n * n * d + n**3 / 3.0 + 2.0 * n * n * q
@@ -76,8 +97,18 @@ def main():
     m = 8192 if on_accel else 1024
     A = jnp.asarray(rng.standard_normal((m, m)), dtype)
     B = jnp.asarray(rng.standard_normal((m, m)), dtype)
-    matmul = jax.jit(lambda a, b: jnp.sum((a @ b)[-1]))
-    t_mm = _time_fn(matmul, A, B)
+
+    def make_mm(repeats):
+        @jax.jit
+        def mm(a, b):
+            out = jnp.asarray(0.0, dtype)
+            for _ in range(repeats):
+                out = jnp.sum((a + out * 1e-30) @ b, axis=(0, 1)) * 1e-20 + out
+            return out
+
+        return mm
+
+    t_mm = _time_scalar_fn(make_mm, A, B, repeats=8)
     peak_tflops = 2.0 * m**3 / t_mm / 1e12
 
     utilization = tflops / peak_tflops

@@ -1,0 +1,112 @@
+"""End-to-end orchestration test: YAML config -> regression -> evaluation
+(the reference's scripts/main.py regression+evaluation stages,
+main.py:269-405, minus the external registration executables)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gpr_tpu.apps import experiments
+from gpr_tpu.pipeline import imageio
+
+
+@pytest.fixture
+def experiment_tree(tmp_path):
+    """root/us/{train,test}, root/reg3d/{train,test} with a learnable
+    phase-coupled dataset; returns the YAML config path."""
+    rng = np.random.default_rng(0)
+    n_train, n_test = 30, 8
+
+    for split, n, start in (("train", n_train, 0), ("test", n_test, n_train)):
+        us = tmp_path / "us" / split
+        dvf = tmp_path / "reg3d" / split
+        us.mkdir(parents=True)
+        dvf.mkdir(parents=True)
+        for i in range(n):
+            ph = 2 * np.pi * (start + i) / 10.0
+            yy, xx = np.mgrid[0:10, 0:10]
+            frame = np.clip(
+                127 + 100 * np.sin(2 * np.pi * yy / 10 + ph)
+                + rng.normal(0, 1, (10, 10)),
+                0, 255,
+            )
+            imageio.write_image(
+                imageio.Image(frame, (1, 1), (0, 0)), str(us / f"us{i:05d}.vtk")
+            )
+            df = np.stack(
+                [
+                    np.full((3, 4, 5), np.sin(ph)),
+                    np.full((3, 4, 5), 0.5 * np.cos(ph)),
+                    np.full((3, 4, 5), 0.2 * np.sin(ph)),
+                ],
+                axis=-1,
+            ) + rng.normal(0, 0.003, (3, 4, 5, 3))
+            imageio.write_image(
+                imageio.Image(df, (1, 1, 1), (0, 0, 0), ncomponents=3),
+                str(dvf / f"df{i:05d}.vtk"),
+            )
+
+    master = tmp_path / "master.vtk"
+    imageio.write_image(
+        imageio.Image(
+            np.zeros((3, 4, 5, 3)), (1, 1, 1), (0, 0, 0), ncomponents=3
+        ),
+        str(master),
+    )
+
+    config = {
+        "options": {"regression": True, "evaluation": True},
+        "general": {
+            "root_dir": str(tmp_path),
+            "surrogate_dir": "us",
+            "registration_dir": "reg3d",
+            "master_volume": "master.vtk",
+        },
+        "gpr_model": {
+            "perform_ar": False,
+            "n_inputModes": 4,
+            "n_outputModes": 3,
+            "ar_n": 1,
+            "ar_p": 2,
+            "kernel_string": "GaussianKernel(2, 1,)",
+            "data_noise": 0.01,
+            "subdir": "test",
+        },
+        "gpr_learn": {"use_precomputed": False, "n_trainImgs": 0, "start_trainInd": 0},
+        "gpr_predict": {
+            "use_precomputed": False,
+            "compute_groundtruth_features": False,
+        },
+    }
+    import yaml
+
+    cfg_path = tmp_path / "config.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(config, f)
+    return tmp_path, str(cfg_path)
+
+
+def test_full_experiment(experiment_tree):
+    root, cfg_path = experiment_tree
+    assert experiments.main([cfg_path]) == 0
+
+    # regression artifacts
+    assert os.path.exists(root / "reg3d" / "gpr" / "gpr-ParameterFile.txt")
+    preds = sorted(os.listdir(root / "reg3d" / "test_pred"))
+    assert preds == [f"dfPred{i:05d}.vtk" for i in range(8)]
+
+    # evaluation percentiles: sub-voxel error on the clean synthetic map
+    with open(root / "evaluation.json") as f:
+        ev = json.load(f)
+    assert ev["50"] < 0.05
+    assert ev["99"] < 0.2
+
+
+def test_directory_of_configs(experiment_tree):
+    root, cfg_path = experiment_tree
+    cfg_dir = root / "configs"
+    cfg_dir.mkdir()
+    os.rename(cfg_path, cfg_dir / "exp1.yaml")
+    assert experiments.main([str(cfg_dir)]) == 0
