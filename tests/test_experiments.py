@@ -110,3 +110,19 @@ def test_directory_of_configs(experiment_tree):
     cfg_dir.mkdir()
     os.rename(cfg_path, cfg_dir / "exp1.yaml")
     assert experiments.main([str(cfg_dir)]) == 0
+
+
+def test_drift_runner(experiment_tree):
+    """Sliding-window retraining (reference drift_analysis.sh:42-50 +
+    validation_drift.py): each window trains on a subset and reports its
+    own percentile statistics."""
+    from gpr_tpu.apps import drift
+
+    root, cfg_path = experiment_tree
+    results = drift.run_drift(cfg_path, n_train=20, starts=[0, 5])
+    assert set(results) == {"win0000", "win0005"}
+    for r in results.values():
+        assert r["percentiles"]["50"] < 0.1
+    # window artifacts are separate
+    assert os.path.isdir(root / "reg3d" / "gpr_win0000")
+    assert os.path.isdir(root / "reg3d" / "gpr_win0005")
