@@ -280,3 +280,88 @@ def optimize_inducing(
 
     (z, _), trace = jax.lax.scan(step, (Z0, opt.init(Z0)), None, length=iterations)
     return z, trace
+
+
+# ---------------------------------------------------------------------------
+# Titsias variational bound (SVGP)
+# ---------------------------------------------------------------------------
+
+def titsias_elbo(kernel, Z, X, Y, sigma, jitter: float = 0.0) -> jax.Array:
+    """Collapsed variational lower bound (Titsias 2009):
+
+        ELBO = log N(y | 0, s^2 I + Q_nn) - 1/(2 s^2) tr(K_nn - Q_nn)
+
+    i.e. the projected-process marginal likelihood this module already
+    computes (``sparse_mll_scalar``) minus the trace penalty for the
+    variance the inducing points fail to explain.  Beyond the reference
+    (which has only the uncorrected sparse likelihood,
+    SparseLikelihood.h:152-217) — this is the principled objective for
+    optimizing inducing locations, named in BASELINE.json ("VI over
+    inducing locations")."""
+    Y = jnp.asarray(Y)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    X2 = jnp.atleast_2d(jnp.asarray(X))
+    Z2 = jnp.atleast_2d(jnp.asarray(Z))
+    dtype = X2.dtype
+    s2 = jnp.asarray(sigma, dtype) ** 2
+
+    base = sparse_mll_scalar(kernel, Z2, X2, Y, sigma, jitter)
+
+    Kmm = linalg.add_diagonal(kermod.gram(kernel, Z2), jnp.asarray(jitter, dtype))
+    Lmm, _ = linalg.safe_cholesky(Kmm)
+    Knm = kermod.gram(kernel, X2, Z2)
+    # diag(Q_nn) = rowsum(V * V), V = Knm Lmm^-T
+    V = jax.scipy.linalg.solve_triangular(Lmm, Knm.T, lower=True)  # (m, n)
+    q_diag = jnp.sum(V * V, axis=0)
+    k_diag = jax.vmap(lambda v: kernel(v, v))(X2)
+    trace_term = jnp.sum(k_diag - q_diag) / (2.0 * s2)
+    return base - trace_term
+
+
+def fit_svgp(
+    kernel,
+    Z0,
+    X,
+    Y,
+    sigma,
+    jitter: float = 0.0,
+    iterations: int = 200,
+    learning_rate: float = 0.01,
+    optimize_hyperparameters: bool = True,
+):
+    """Joint gradient ascent of the Titsias ELBO over inducing locations
+    and (optionally) log-hyperparameters; returns the trained SparseGP and
+    the ELBO trace."""
+    import optax
+
+    Z0 = jnp.atleast_2d(jnp.asarray(Z0))
+    theta0 = jnp.log(kermod.params_vector(kernel))
+    params0 = {"Z": Z0, "log_theta": theta0}
+    opt = optax.adam(learning_rate)
+
+    def negelbo(params):
+        k = kernel.with_params(list(jnp.exp(params["log_theta"])))
+        if not optimize_hyperparameters:
+            k = kernel
+        return -titsias_elbo(k, params["Z"], X, Y, sigma, jitter)
+
+    @jax.jit
+    def step(carry, _):
+        params, state = carry
+        val, g = jax.value_and_grad(negelbo)(params)
+        if not optimize_hyperparameters:
+            g = dict(g, log_theta=jnp.zeros_like(g["log_theta"]))
+        updates, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, state), -val
+
+    (params, _), trace = jax.lax.scan(
+        step, (params0, opt.init(params0)), None, length=iterations
+    )
+    k_final = (
+        kernel.with_params(list(jnp.exp(params["log_theta"])))
+        if optimize_hyperparameters
+        else kernel
+    )
+    return fit_sparse(k_final, params["Z"], X, Y, sigma, jitter), trace

@@ -145,3 +145,43 @@ def test_optimize_inducing_improves_mll(rng):
     )
     after = float(sp.sparse_mll_scalar(k, Zstar, X, Y, sigma, jitter))
     assert after > before + 1.0, (before, after)
+
+
+class TestSVGP:
+    """Titsias collapsed bound + variational inducing-point optimization
+    (beyond the reference; BASELINE.json 'VI over inducing locations')."""
+
+    def _data(self):
+        rng = np.random.default_rng(0)
+        X = np.linspace(0, 10, 150)[:, None]
+        Y = np.sin(X[:, 0]) + 0.1 * rng.standard_normal(150)
+        return X, Y
+
+    def test_elbo_lower_bounds_mll(self):
+        """ELBO <= sparse marginal likelihood (the trace term is >= 0)."""
+        X, Y = self._data()
+        Z = X[::30]
+        k = kermod.Gaussian(1.0, 1.0)
+        elbo = float(sp.titsias_elbo(k, Z, X, Y, 0.1))
+        mll = float(sp.sparse_mll_scalar(k, jnp.asarray(Z), jnp.asarray(X), jnp.asarray(Y), 0.1))
+        assert elbo <= mll + 1e-8
+
+    def test_elbo_tight_when_inducing_equals_data(self):
+        """Z = X: Q_nn = K_nn, the trace penalty vanishes and the bound is
+        tight against the DTC likelihood."""
+        X, Y = self._data()
+        X, Y = X[:40], Y[:40]
+        k = kermod.Gaussian(1.5, 1.0)
+        elbo = float(sp.titsias_elbo(k, X, X, Y, 0.1, jitter=1e-8))
+        mll = float(sp.sparse_mll_scalar(k, jnp.asarray(X), jnp.asarray(X), jnp.asarray(Y), 0.1, jitter=1e-8))
+        np.testing.assert_allclose(elbo, mll, rtol=1e-5)
+
+    def test_fit_svgp_improves_and_predicts(self):
+        X, Y = self._data()
+        Z0 = X[::30] + 0.2
+        k = kermod.Gaussian(1.0, 1.0)
+        sgp, trace = sp.fit_svgp(k, Z0, X, Y, 0.1, iterations=100)
+        assert float(trace[-1]) > float(trace[0])
+        pred = np.asarray(sgp.predict(X))
+        rmse = float(np.sqrt(np.mean((pred[:, 0] - np.sin(X[:, 0])) ** 2)))
+        assert rmse < 0.15
