@@ -320,3 +320,82 @@ def posterior_summary(samples: jax.Array):
         "rhat": split_rhat(samples),
         "ess": effective_sample_size(samples),
     }
+
+
+# ---------------------------------------------------------------------------
+# chain checkpoint / resume (SURVEY.md §5.3: "checkpointed HMC chains give
+# natural resume" — the failure-recovery story of the sampler)
+# ---------------------------------------------------------------------------
+
+def save_chain_checkpoint(path: str, result: HMCResult, states: ChainState | None = None) -> None:
+    """Persist adapted kernel + draws (+ final chain states) as one npz."""
+    import numpy as np
+
+    payload = {
+        "samples": np.asarray(result.samples),
+        "accept_rate": np.asarray(result.accept_rate),
+        "step_size": np.asarray(result.step_size),
+        "inv_mass": np.asarray(result.inv_mass),
+    }
+    if states is not None:
+        payload["state_z"] = np.asarray(states.z)
+        payload["state_logp"] = np.asarray(states.logp)
+        payload["state_grad"] = np.asarray(states.grad)
+    np.savez(path, **payload)
+
+
+def load_chain_checkpoint(path: str):
+    """(HMCResult, ChainState | None) from :func:`save_chain_checkpoint`."""
+    import numpy as np
+
+    z = np.load(path)
+    result = HMCResult(
+        samples=jnp.asarray(z["samples"]),
+        accept_rate=jnp.asarray(z["accept_rate"]),
+        step_size=jnp.asarray(z["step_size"]),
+        inv_mass=jnp.asarray(z["inv_mass"]),
+    )
+    states = None
+    if "state_z" in z:
+        states = ChainState(
+            z=jnp.asarray(z["state_z"]),
+            logp=jnp.asarray(z["state_logp"]),
+            grad=jnp.asarray(z["state_grad"]),
+        )
+    return result, states
+
+
+def resume_hmc(
+    logp_fn: Callable,
+    checkpoint_path: str,
+    key,
+    num_samples: int,
+    cfg: HMCConfig = HMCConfig(),
+) -> HMCResult:
+    """Continue sampling from a checkpoint WITHOUT re-warming: reuses the
+    adapted step size and mass matrix, restarts chains from their last
+    positions (or the last stored draw)."""
+    prev, states = load_chain_checkpoint(checkpoint_path)
+    if states is None:
+        last = prev.samples[:, -1, :]
+        states = init_chains(logp_fn, last)
+    n_chains = states.z.shape[0]
+    logp_grad_fn = jax.value_and_grad(logp_fn)
+    eps = prev.step_size
+    inv_mass = prev.inv_mass
+
+    def sample_step(states, key_t):
+        keys = jax.random.split(key_t, n_chains)
+        new_states, accept_probs = jax.vmap(
+            lambda s, k: _hmc_transition(logp_grad_fn, s, k, eps, inv_mass, cfg)
+        )(states, keys)
+        return new_states, (new_states.z, accept_probs)
+
+    keys = jax.random.split(key, num_samples)
+    states, (zs, accepts) = lax.scan(sample_step, states, keys)
+    return HMCResult(
+        samples=jnp.swapaxes(zs, 0, 1),
+        accept_rate=jnp.mean(accepts, axis=0),
+        step_size=eps,
+        inv_mass=inv_mass,
+    )

@@ -109,3 +109,42 @@ def test_scaling_efficiency_helper():
     eff = sh.chain_scaling_efficiency({1: 100.0, 2: 180.0, 4: 300.0})
     assert abs(eff[2] - 0.9) < 1e-12
     assert abs(eff[4] - 0.75) < 1e-12
+
+
+class TestCheckpointResume:
+    """Chain checkpoint/resume (SURVEY.md §5.3 rebuild contract)."""
+
+    def test_roundtrip_and_resume(self, tmp_path):
+        logp = lambda z: -0.5 * jnp.sum(z * z)
+        res = hm.sample_hmc(
+            logp, np.zeros((2, 2)), jax.random.PRNGKey(0),
+            hm.HMCConfig(num_warmup=150, num_samples=150),
+        )
+        path = str(tmp_path / "chains.npz")
+        hm.save_chain_checkpoint(path, res)
+        loaded, states = hm.load_chain_checkpoint(path)
+        np.testing.assert_array_equal(
+            np.asarray(loaded.samples), np.asarray(res.samples)
+        )
+        assert float(loaded.step_size) == float(res.step_size)
+
+        res2 = hm.resume_hmc(logp, path, jax.random.PRNGKey(1), 200)
+        s = np.asarray(res2.samples).reshape(-1, 2)
+        # resumed chains sample the same standard normal without re-warmup
+        np.testing.assert_allclose(s.std(0), [1.0, 1.0], atol=0.25)
+        np.testing.assert_allclose(s.mean(0), [0.0, 0.0], atol=0.25)
+
+
+class TestProfiling:
+    def test_stage_timer_csv(self, tmp_path):
+        from gpr_tpu.utils.profiling import StageTimer
+
+        t = StageTimer()
+        with t.stage("gram"):
+            pass
+        with t.stage("chol"):
+            pass
+        assert set(t.totals()) == {"gram", "chol"}
+        path = str(tmp_path / "times.txt")
+        t.write(path)
+        assert open(path).read().count(",") == 2
