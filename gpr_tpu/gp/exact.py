@@ -249,11 +249,17 @@ def fit(
     sigma: float = 0.0,
     efficient_storage: bool = False,
     jitter: float = 0.0,
+    use_pallas_gram: bool = False,
 ) -> GP:
     """Train an exact GP: factor K + sigma^2 I and solve for the regression
     vectors (reference Initialize -> ComputeRegressionVectors,
     lib/GaussianProcess.cpp:117-130,641-672 — but via Cholesky solve instead
-    of the explicit inverse)."""
+    of the explicit inverse).
+
+    ``use_pallas_gram`` routes Gaussian/RationalQuadratic Gram construction
+    through the fused Pallas tile kernel (~4x XLA on v5e at n=16k).
+    Training is not differentiated, so the kernel's missing VJP is
+    irrelevant here; leave it off when grads through ``fit`` are needed."""
     X = jnp.asarray(X)
     Y = jnp.asarray(Y)
     if X.ndim == 1:
@@ -264,7 +270,22 @@ def fit(
         raise ValueError(
             "GaussianProcess::Initialize: no input samples defined during initialization"
         )
-    K = kermod.gram(kernel, X)
+    K = None
+    if use_pallas_gram:
+        from ..ops import pallas_gram
+
+        interp = jax.default_backend() != "tpu"
+        if isinstance(kernel, kermod.Gaussian):
+            K = pallas_gram.gram_pallas(
+                X, X, kernel.sigma, kernel.scale, interpret=interp
+            ).astype(X.dtype)
+        elif isinstance(kernel, kermod.RationalQuadratic):
+            K = pallas_gram.gram_pallas(
+                X, X, kernel.sigma, kernel.scale, kernel.alpha, form="rq",
+                interpret=interp,
+            ).astype(X.dtype)
+    if K is None:
+        K = kermod.gram(kernel, X)
     K = linalg.add_diagonal(K, jnp.asarray(sigma, K.dtype) ** 2)
     L, _ = linalg.safe_cholesky(K, initial_jitter=jitter)
     alpha = linalg.cho_solve(L, Y)

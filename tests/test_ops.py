@@ -138,3 +138,36 @@ class TestSafeCholesky:
         np.testing.assert_allclose(
             np.asarray(L @ L.T), np.asarray(A), atol=1e-8
         )
+
+
+class TestPallasCholesky:
+    """Experimental single-tile Pallas Cholesky (interpret mode)."""
+
+    @pytest.mark.parametrize("n", [128, 256])
+    def test_matches_numpy(self, n):
+        from gpr_tpu.ops.pallas_chol import cholesky_pallas
+
+        rng = np.random.default_rng(0)
+        A = rng.standard_normal((n, n)).astype(np.float32)
+        A = A @ A.T + n * np.eye(n, dtype=np.float32)
+        L = np.asarray(cholesky_pallas(jnp.asarray(A), interpret=True))
+        ref = np.linalg.cholesky(A)
+        assert np.abs(L - ref).max() / np.abs(ref).max() < 1e-5
+
+
+class TestPallasGramInFit:
+    def test_fit_parity(self):
+        """fit(use_pallas_gram=True) must reproduce the stock path."""
+        import gpr_tpu
+
+        X = np.linspace(0, 6, 50)
+        Y = np.sin(X)
+        g1 = gpr_tpu.fit(gpr_tpu.Gaussian(1.0), X, Y, sigma=0.1)
+        g2 = gpr_tpu.fit(
+            gpr_tpu.Gaussian(1.0), X, Y, sigma=0.1, use_pallas_gram=True
+        )
+        # the pallas kernel computes in f32; under the x64 test policy the
+        # stock path is f64 — compare at f32 fidelity
+        np.testing.assert_allclose(
+            np.asarray(g1.alpha), np.asarray(g2.alpha), atol=5e-3, rtol=1e-3
+        )
