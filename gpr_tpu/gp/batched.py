@@ -1,0 +1,128 @@
+"""Batched many-GP mode: train/predict fleets of small GPs in one program.
+
+The reference processes one GP at a time (a single ``GaussianProcess``
+object per dataset); on TPU a *batch* of small/medium GPs is where the MXU
+shines — batched Gram construction and batched Cholesky keep the systolic
+array busy where a single small factorization is latency-bound (SURVEY.md
+§7 "consider batched many-small-GP mode").  Use cases: per-window drift
+fleets, per-patient models, hyperparameter grids, bootstrap ensembles.
+
+All kernels' hyperparameters may be batched too: pass a kernel pytree whose
+leaves carry a leading batch axis (e.g. ``Gaussian(sigmas_of_shape_B,
+scales_of_shape_B)``) — everything is ``vmap`` under one ``jit``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels import kernels as kermod
+from ..ops import linalg
+
+
+class BatchedGP(NamedTuple):
+    """A fleet of B independent GPs with identical shapes."""
+
+    kernel: Any  # kernel pytree; leaves may carry a leading B axis
+    X: jax.Array  # (B, n, d)
+    Y: jax.Array  # (B, n, q)
+    sigma: jax.Array  # (B,) or scalar
+    alpha: jax.Array  # (B, n, q)
+    L: jax.Array  # (B, n, n)
+    batched_kernel: bool = False
+
+
+def _kernel_in_axes(kernel, batched: bool):
+    # 0 maps every kernel leaf over the batch axis; None broadcasts the
+    # whole kernel (an in_axes *tree* would re-construct the kernel class
+    # with int leaves and trip parameter validation)
+    return 0 if batched else None
+
+
+def fit_batched(
+    kernel,
+    X,
+    Y,
+    sigma,
+    jitter: float = 0.0,
+    batched_kernel: bool = False,
+) -> BatchedGP:
+    """Train B GPs at once.  X (B, n, d), Y (B, n, q), sigma scalar or (B,).
+
+    One jitted program: vmapped Gram (a single big batched GEMM) + XLA
+    batched Cholesky + batched triangular solves."""
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y)
+    if Y.ndim == 2:
+        Y = Y[..., None]
+    B = X.shape[0]
+    sigma = jnp.broadcast_to(jnp.asarray(sigma, X.dtype), (B,))
+
+    k_axes = _kernel_in_axes(kernel, batched_kernel)
+
+    def one(k, x, y, s):
+        K = kermod.gram(k, x)
+        K = linalg.add_diagonal(K, s**2 + jitter)
+        L = jnp.linalg.cholesky(K)
+        a = jax.scipy.linalg.cho_solve((L, True), y)
+        return L, a
+
+    L, alpha = jax.vmap(one, in_axes=(k_axes, 0, 0, 0))(kernel, X, Y, sigma)
+    return BatchedGP(
+        kernel=kernel, X=X, Y=Y, sigma=sigma, alpha=alpha, L=L,
+        batched_kernel=batched_kernel,
+    )
+
+
+def predict_batched(gp: BatchedGP, Xs) -> jax.Array:
+    """Posterior means: Xs (B, m, d) -> (B, m, q)."""
+    Xs = jnp.asarray(Xs)
+    k_axes = _kernel_in_axes(gp.kernel, gp.batched_kernel)
+
+    def one(k, xs, x, a):
+        Ks = kermod.gram(k, xs, x)
+        return Ks @ a
+
+    return jax.vmap(one, in_axes=(k_axes, 0, 0, 0))(gp.kernel, Xs, gp.X, gp.alpha)
+
+
+def variance_batched(gp: BatchedGP, Xs) -> jax.Array:
+    """Diagonal posterior variance: Xs (B, m, d) -> (B, m)."""
+    Xs = jnp.asarray(Xs)
+    k_axes = _kernel_in_axes(gp.kernel, gp.batched_kernel)
+
+    def one(k, xs, x, L):
+        Ks = kermod.gram(k, xs, x)  # (m, n)
+        kss = jax.vmap(lambda v: k(v, v))(xs)
+        solved = jax.scipy.linalg.cho_solve((L, True), Ks.T)
+        return kss - jnp.sum(Ks * solved.T, axis=-1)
+
+    return jax.vmap(one, in_axes=(k_axes, 0, 0, 0))(gp.kernel, Xs, gp.X, gp.L)
+
+
+def mll_batched(kernel, X, Y, sigma, batched_kernel: bool = False) -> jax.Array:
+    """Per-GP scalar log marginal likelihoods (B,) — e.g. for scoring a
+    hyperparameter grid in one shot."""
+    import math
+
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y)
+    if Y.ndim == 2:
+        Y = Y[..., None]
+    B, n = X.shape[0], X.shape[1]
+    sigma = jnp.broadcast_to(jnp.asarray(sigma, X.dtype), (B,))
+    k_axes = _kernel_in_axes(kernel, batched_kernel)
+
+    def one(k, x, y, s):
+        K = kermod.gram(k, x)
+        K = linalg.add_diagonal(K, s**2)
+        L = jnp.linalg.cholesky(K)
+        a = jax.scipy.linalg.cho_solve((L, True), y)
+        df = -0.5 * jnp.sum(y * a)
+        cp = -jnp.sum(jnp.log(jnp.diagonal(L)))
+        return df + cp - n / 2.0 * math.log(2 * math.pi) * y.shape[1]
+
+    return jax.vmap(one, in_axes=(k_axes, 0, 0, 0))(kernel, X, Y, sigma)

@@ -177,7 +177,13 @@ class Gaussian(Kernel):
     def __post_init__(self):
         for name in ("sigma", "scale"):
             v = getattr(self, name)
-            if not isinstance(v, jax.core.Tracer) and float(v) == 0:
+            # validate concrete scalars only (traced values and batched
+            # leaf arrays pass through)
+            if isinstance(v, jax.core.Tracer):
+                continue
+            if getattr(v, "ndim", 0) != 0 and not jnp.isscalar(v):
+                continue
+            if float(v) == 0:
                 raise ValueError(f"GaussianKernel: {name} has to be positive")
 
     def _eval(self, x, y):

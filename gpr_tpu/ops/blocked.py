@@ -59,8 +59,13 @@ def solve_triangular_blocked(
     return jnp.concatenate([X1, X2], axis=0)
 
 
-def cholesky_blocked(A: jax.Array, *, leaf: int = 256) -> jax.Array:
-    """Lower Cholesky factor of SPD ``A`` by trace-time recursion."""
+def cholesky_blocked(A: jax.Array, *, leaf: int = 256, gemm_dtype=None) -> jax.Array:
+    """Lower Cholesky factor of SPD ``A`` by trace-time recursion.
+
+    ``gemm_dtype=jnp.bfloat16`` routes the trailing-update GEMM operands
+    through bf16 (f32 accumulation) — ~2x MXU throughput on v5e for the
+    ~2/3 of flops in the updates, at ~3-decimal-digit operand rounding.
+    The fast-policy option; leave None for parity work."""
     n = A.shape[0]
     if n <= leaf:
         return jnp.linalg.cholesky(A)
@@ -68,12 +73,20 @@ def cholesky_blocked(A: jax.Array, *, leaf: int = 256) -> jax.Array:
     A11 = A[:m, :m]
     A21 = A[m:, :m]
     A22 = A[m:, m:]
-    L11 = cholesky_blocked(A11, leaf=leaf)
+    L11 = cholesky_blocked(A11, leaf=leaf, gemm_dtype=gemm_dtype)
     # L21 = A21 L11^-T  ==  (L11^-1 A21^T)^T
     L21 = solve_triangular_blocked(L11, A21.T, lower=True, leaf=leaf).T
-    S22 = A22 - jnp.matmul(L21, L21.T, preferred_element_type=A.dtype)
+    if gemm_dtype is not None:
+        upd = jnp.matmul(
+            L21.astype(gemm_dtype),
+            L21.T.astype(gemm_dtype),
+            preferred_element_type=A.dtype,
+        ).astype(A.dtype)
+    else:
+        upd = jnp.matmul(L21, L21.T, preferred_element_type=A.dtype)
+    S22 = A22 - upd
     S22 = 0.5 * (S22 + S22.T)
-    L22 = cholesky_blocked(S22, leaf=leaf)
+    L22 = cholesky_blocked(S22, leaf=leaf, gemm_dtype=gemm_dtype)
     top = jnp.concatenate([L11, jnp.zeros((m, n - m), A.dtype)], axis=1)
     bot = jnp.concatenate([L21, L22], axis=1)
     return jnp.concatenate([top, bot], axis=0)

@@ -50,17 +50,26 @@ def sample_hmc_sharded(
     logp_fn: Callable,
     z0,
     key,
-    cfg: hmc_mod.HMCConfig = hmc_mod.HMCConfig(),
+    cfg=None,
     mesh: Optional[Mesh] = None,
     axis: str = "chains",
+    sampler: Callable = None,
 ) -> hmc_mod.HMCResult:
-    """Run HMC with the chain dimension sharded over ``mesh``.
+    """Run HMC (or NUTS) with the chain dimension sharded over ``mesh``.
 
     ``z0``: (num_chains, dim) — num_chains must be divisible by the mesh
     size.  Step-size adaptation uses the acceptance rate pmean'ed over the
     whole mesh; the mass matrix is estimated from warmup draws of ALL chains
     via psum'd moments, so every device ends up with the identical adapted
-    kernel (deterministic across shardings)."""
+    kernel (deterministic across shardings).
+
+    ``sampler`` defaults to :func:`hmc.sample_hmc`; pass
+    ``nuts.sample_nuts`` (with a ``NUTSConfig`` as ``cfg``) for sharded
+    NUTS — both expose the same cross-chain adaptation hooks."""
+    if cfg is None:
+        cfg = hmc_mod.HMCConfig()
+    if sampler is None:
+        sampler = hmc_mod.sample_hmc
     if mesh is None:
         mesh = default_mesh(axis=axis)
     n_dev = mesh.devices.size
@@ -79,7 +88,7 @@ def sample_hmc_sharded(
         return g_mean, jnp.maximum(g_var, 1e-12)
 
     def shard_fn(z_local, key_local):
-        res = hmc_mod.sample_hmc(
+        res = sampler(
             logp_fn,
             z_local,
             key_local[0],
@@ -108,6 +117,10 @@ def sample_hmc_sharded(
             step_size=P(axis),
             inv_mass=P(axis, None),
         ),
+        # NUTS/HMC loop carries mix replicated constants with per-device
+        # state; skip the strict varying-axes check (collectives inside the
+        # samplers are explicit and correct by construction)
+        check_vma=False,
     )
 
     res = mapped(z0, keys)

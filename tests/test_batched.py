@@ -1,0 +1,78 @@
+"""Batched many-GP fleet tests: agreement with per-GP fits, batched
+hyperparameters, grid scoring."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import gpr_tpu
+from gpr_tpu.gp import batched, exact
+from gpr_tpu.gp import likelihood as lk
+
+
+def _fleet(B=4, n=30, d=2, q=2, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((B, n, d))
+    Y = np.sin(X.sum(-1, keepdims=True)) + 0.05 * rng.standard_normal((B, n, q))
+    return jnp.asarray(X), jnp.asarray(Y)
+
+
+class TestBatchedFit:
+    def test_matches_individual_fits(self):
+        X, Y = _fleet()
+        k = gpr_tpu.Gaussian(1.2, 0.9)
+        fleet = batched.fit_batched(k, X, Y, sigma=0.1)
+        for b in range(X.shape[0]):
+            gp = exact.fit(k, X[b], Y[b], sigma=0.1)
+            np.testing.assert_allclose(
+                np.asarray(fleet.alpha[b]), np.asarray(gp.alpha), atol=1e-8
+            )
+
+    def test_predict_and_variance(self):
+        X, Y = _fleet()
+        k = gpr_tpu.Gaussian(1.2, 0.9)
+        fleet = batched.fit_batched(k, X, Y, sigma=0.1)
+        Xs = X[:, :5]
+        mean = batched.predict_batched(fleet, Xs)
+        var = batched.variance_batched(fleet, Xs)
+        assert mean.shape == (4, 5, 2)
+        assert var.shape == (4, 5)
+        gp0 = exact.fit(k, X[0], Y[0], sigma=0.1)
+        np.testing.assert_allclose(
+            np.asarray(mean[0]), np.asarray(gp0.predict(Xs[0])), atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(var[0]), np.asarray(gp0.posterior_var(Xs[0])), atol=1e-8
+        )
+
+    def test_per_gp_sigma(self):
+        X, Y = _fleet(B=3)
+        k = gpr_tpu.Gaussian(1.0, 1.0)
+        sigmas = jnp.asarray([0.01, 0.1, 1.0])
+        fleet = batched.fit_batched(k, X, Y, sigma=sigmas)
+        gp1 = exact.fit(k, X[1], Y[1], sigma=0.1)
+        np.testing.assert_allclose(
+            np.asarray(fleet.alpha[1]), np.asarray(gp1.alpha), atol=1e-8
+        )
+
+    def test_batched_hyperparameters_grid(self):
+        """A hyperparameter grid scored in ONE program: kernel leaves carry
+        the batch axis."""
+        rng = np.random.default_rng(1)
+        x = np.linspace(0, 6, 40)
+        y = np.sin(x) + 0.1 * rng.standard_normal(40)
+        B = 8
+        sigmas = jnp.asarray(np.geomspace(0.2, 5.0, B))
+        kgrid = gpr_tpu.Gaussian(sigmas, jnp.ones(B))
+        X = jnp.broadcast_to(jnp.asarray(x)[None, :, None], (B, 40, 1))
+        Y = jnp.broadcast_to(jnp.asarray(y)[None, :, None], (B, 40, 1))
+        mlls = batched.mll_batched(kgrid, X, Y, sigma=0.1, batched_kernel=True)
+        assert mlls.shape == (B,)
+        # cross-check one entry against the dense likelihood
+        ref = float(lk.mll_scalar(gpr_tpu.Gaussian(float(sigmas[3]), 1.0), x, y, 0.1))
+        np.testing.assert_allclose(float(mlls[3]), ref, rtol=1e-10)
+        # the best lengthscale is interior, not an endpoint
+        best = int(np.argmax(np.asarray(mlls)))
+        assert 0 < best < B - 1

@@ -79,3 +79,21 @@ class TestShardedFit:
         np.testing.assert_allclose(
             float(logdet), float(linalg.logdet_from_chol(gp.L)), rtol=1e-12
         )
+
+
+class TestShardedNUTS:
+    def test_nuts_chains_over_mesh(self, mesh):
+        """NUTS through the sharded driver: psum'd adaptation, correct
+        moments."""
+        from gpr_tpu.parallel.sharded_hmc import sample_hmc_sharded
+        from gpr_tpu.inference.nuts import NUTSConfig, sample_nuts
+
+        logp = lambda z: -0.5 * jnp.sum(z * z)
+        res = sample_hmc_sharded(
+            logp, np.zeros((16, 2)), jax.random.PRNGKey(0),
+            cfg=NUTSConfig(num_warmup=100, num_samples=100, max_depth=5),
+            mesh=mesh, sampler=sample_nuts,
+        )
+        s = np.asarray(res.samples).reshape(-1, 2)
+        np.testing.assert_allclose(s.mean(0), [0, 0], atol=0.2)
+        np.testing.assert_allclose(s.std(0), [1, 1], atol=0.25)
