@@ -82,17 +82,22 @@ class TestShardedFit:
 
 
 class TestShardedNUTS:
-    def test_nuts_chains_over_mesh(self, mesh):
+    def test_nuts_chains_over_mesh(self):
         """NUTS through the sharded driver: psum'd adaptation, correct
         moments."""
-        from gpr_tpu.parallel.sharded_hmc import sample_hmc_sharded
+        from gpr_tpu.parallel.sharded_hmc import (
+            default_mesh as chains_mesh,
+            sample_hmc_sharded,
+        )
         from gpr_tpu.inference.nuts import NUTSConfig, sample_nuts
 
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
         logp = lambda z: -0.5 * jnp.sum(z * z)
         res = sample_hmc_sharded(
             logp, np.zeros((16, 2)), jax.random.PRNGKey(0),
             cfg=NUTSConfig(num_warmup=100, num_samples=100, max_depth=5),
-            mesh=mesh, sampler=sample_nuts,
+            mesh=chains_mesh(8), sampler=sample_nuts,
         )
         s = np.asarray(res.samples).reshape(-1, 2)
         np.testing.assert_allclose(s.mean(0), [0, 0], atol=0.2)
