@@ -24,6 +24,7 @@ def dvf_error(
     pred_dir: str,
     mask_path: Optional[str] = None,
     percentiles: List[int] = (50, 75, 90, 95, 99),
+    diff_dir: Optional[str] = None,
 ) -> Dict:
     """Per-voxel L2 displacement error over all frames + percentile stats
     (reference validation_dvf.py:60-105: zero-error voxel rows eliminated
@@ -43,10 +44,23 @@ def dvf_error(
     if mask_path:
         mask = imageio.read_image(mask_path).data > 0
 
+    if diff_dir:
+        os.makedirs(diff_dir, exist_ok=True)
     cols = []
-    for gt_f, pr_f in zip(gt_files, pred_files):
-        gt = imageio.read_image(gt_f).data
+    for i, (gt_f, pr_f) in enumerate(zip(gt_files, pred_files)):
+        gt_img = imageio.read_image(gt_f)
+        gt = gt_img.data
         pred = imageio.read_image(pr_f).data
+        if diff_dir:
+            # per-frame difference field (reference validation_dvf.py:85-92
+            # --save / main.py evaluation diff images)
+            from ..pipeline.warp import diff_image
+
+            pr_img = imageio.read_image(pr_f)
+            imageio.write_image(
+                diff_image(gt_img, pr_img),
+                os.path.join(diff_dir, f"diff_{i:03d}.mha"),
+            )
         diff = np.linalg.norm(gt - pred, axis=-1)
         if mask is not None:
             diff = diff[mask]

@@ -1,0 +1,107 @@
+"""Warping tests: constant-shift exactness, identity field, magnitudes,
+diff images — the rebuild of the reference's ITK warping stack
+(itkUtils.h:1098-1180)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpr_tpu.pipeline import imageio
+from gpr_tpu.pipeline.warp import (
+    diff_image,
+    displacement_magnitude,
+    warp_array,
+    warp_image,
+)
+
+
+class TestWarpArray:
+    def test_identity_field(self):
+        rng = np.random.default_rng(0)
+        img = rng.standard_normal((4, 5, 6))
+        df = np.zeros((4, 5, 6, 3))
+        out = np.asarray(warp_array(jnp.asarray(img), jnp.asarray(df)))
+        np.testing.assert_allclose(out, img, atol=1e-12)
+
+    def test_integer_shift_in_x(self):
+        """d = (+2, 0, 0): output(x) = input(x + 2) exactly at order 1."""
+        img = np.arange(5 * 5 * 8, dtype=np.float64).reshape(5, 5, 8)
+        df = np.zeros((5, 5, 8, 3))
+        df[..., 0] = 2.0  # dx
+        out = np.asarray(warp_array(jnp.asarray(img), jnp.asarray(df)))
+        np.testing.assert_allclose(out[..., :6], img[..., 2:], atol=1e-10)
+
+    def test_spacing_scales_displacement(self):
+        """Physical displacement 3.0 with spacing 1.5 = 2 voxels."""
+        img = np.arange(3 * 3 * 6, dtype=np.float64).reshape(3, 3, 6)
+        df = np.zeros((3, 3, 6, 3))
+        df[..., 0] = 3.0
+        out = np.asarray(
+            warp_array(jnp.asarray(img), jnp.asarray(df), spacing=(1.5, 1.0, 1.0))
+        )
+        np.testing.assert_allclose(out[..., :4], img[..., 2:], atol=1e-10)
+
+    def test_subvoxel_is_linear_interp(self):
+        img = np.zeros((1, 1, 4))
+        img[0, 0] = [0.0, 1.0, 2.0, 3.0]
+        df = np.zeros((1, 1, 4, 3))
+        df[..., 0] = 0.5
+        out = np.asarray(warp_array(jnp.asarray(img), jnp.asarray(df)))
+        np.testing.assert_allclose(out[0, 0, :3], [0.5, 1.5, 2.5], atol=1e-12)
+
+    def test_2d(self):
+        img = np.arange(16, dtype=np.float64).reshape(4, 4)
+        df = np.zeros((4, 4, 2))
+        df[..., 1] = 1.0  # dy
+        out = np.asarray(warp_array(jnp.asarray(img), jnp.asarray(df)))
+        np.testing.assert_allclose(out[:3], img[1:], atol=1e-10)
+
+
+class TestWarpImage:
+    def test_roundtrip_through_codecs(self, tmp_path):
+        rng = np.random.default_rng(1)
+        img = imageio.Image(rng.standard_normal((4, 4, 4)), (1, 1, 1), (0, 0, 0))
+        df_data = np.zeros((4, 4, 4, 3))
+        df_data[..., 2] = 1.0  # dz: one slice shift
+        df = imageio.Image(df_data, (1, 1, 1), (0, 0, 0), ncomponents=3)
+        warped = warp_image(img, df)
+        np.testing.assert_allclose(
+            warped.data[:3], np.asarray(img.data)[1:], atol=1e-10
+        )
+
+    def test_scalar_field_rejected(self):
+        img = imageio.Image(np.zeros((2, 2, 2)), (1, 1, 1), (0, 0, 0))
+        with pytest.raises(ValueError):
+            warp_image(img, img)
+
+
+class TestDiffAndMagnitude:
+    def test_magnitude(self):
+        df = imageio.Image(
+            np.full((2, 2, 2, 3), 2.0), (1, 1, 1), (0, 0, 0), ncomponents=3
+        )
+        np.testing.assert_allclose(
+            displacement_magnitude(df), np.full((2, 2, 2), 2 * np.sqrt(3))
+        )
+
+    def test_diff_image_and_save_option(self, tmp_path):
+        from gpr_tpu.apps import validate
+
+        gt_dir = tmp_path / "gt"
+        pr_dir = tmp_path / "pr"
+        diff_dir = tmp_path / "diff"
+        gt_dir.mkdir(), pr_dir.mkdir()
+        rng = np.random.default_rng(2)
+        for i in range(2):
+            g = rng.standard_normal((2, 3, 4, 3))
+            imageio.write_image(
+                imageio.Image(g, (1, 1, 1), (0, 0, 0), ncomponents=3),
+                str(gt_dir / f"g{i}.vtk"),
+            )
+            imageio.write_image(
+                imageio.Image(g + 0.5, (1, 1, 1), (0, 0, 0), ncomponents=3),
+                str(pr_dir / f"p{i}.vtk"),
+            )
+        validate.dvf_error(str(gt_dir), str(pr_dir), diff_dir=str(diff_dir))
+        d0 = imageio.read_image(str(diff_dir / "diff_000.mha"))
+        np.testing.assert_allclose(d0.data, -0.5 * np.ones((2, 3, 4, 3)), atol=1e-12)
