@@ -1,0 +1,148 @@
+"""Real-time serving loop: watch a directory for ultrasound frames, emit
+predicted DVF features/fields with per-frame latency accounting.
+
+The production counterpart of the reference's offline per-frame timing
+study (reference apps/GaussianProcessPredict.cpp:185-194 measures the loop
+it never deploys).  One process: the GP + PCA basis load once, the
+predict program compiles once, then every arriving frame runs
+feature-extraction -> GP -> (optional) reconstruction and appends to the
+latency log.  No external dependencies — plain polling, suitable for a
+shared-filesystem acquisition pipeline.
+
+    python -m gpr_tpu.apps.serve <config_model.json> gpr_prefix watch_dir out_dir
+        [--poll 0.02] [--max-frames N] [--features-only]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Optional, Set
+
+import numpy as np
+
+
+class Server:
+    def __init__(
+        self,
+        config_model: dict,
+        gpr_prefix: str,
+        out_dir: str,
+        features_only: bool = False,
+    ):
+        import jax
+        import gpr_tpu
+        from ..pipeline import pca as pcamod
+
+        self.n_input_modes = int(config_model["n_inputModes"])
+        self.n_output_modes = int(config_model["n_outputModes"])
+        self.out_dir = out_dir
+        self.features_only = features_only
+        self.prefix = gpr_prefix
+
+        self.gp = gpr_tpu.load(gpr_prefix)
+        self.in_pca = pcamod.load_pca(gpr_prefix + "-input")
+        self.out_pca = pcamod.load_pca(gpr_prefix + "-output")
+        self._predict = jax.jit(lambda gp, x: (gp.predict(x), gp.credible_interval(x)))
+        self._jax = jax
+        self.latencies: list = []
+        os.makedirs(out_dir, exist_ok=True)
+
+    def warmup(self, example_frame: np.ndarray) -> None:
+        feats = self._features(example_frame)
+        self._jax.block_until_ready(self._predict(self.gp, feats))
+
+    def _features(self, frame: np.ndarray) -> np.ndarray:
+        col = (frame.reshape(-1, 1).astype(np.float64)) / 255.0
+        return np.asarray(self.in_pca.reduce(col, self.n_input_modes))[:, 0]
+
+    def handle_frame(self, frame: np.ndarray, index: int):
+        """One frame through the pipeline; returns (mean_features, ci)."""
+        t0 = time.perf_counter()
+        feats = self._features(frame)
+        mean, ci = self._predict(self.gp, feats)
+        mean = np.asarray(mean)
+        ci = float(ci)
+        if not self.features_only:
+            dvf = np.asarray(
+                self.out_pca.reconstruct(
+                    mean[: self.n_output_modes, None], self.n_output_modes
+                )
+            )[:, 0]
+            np.save(os.path.join(self.out_dir, f"dvf{index:05d}.npy"), dvf)
+        dt = time.perf_counter() - t0
+        self.latencies.append(dt)
+        return mean, ci, dt
+
+    def flush_latencies(self) -> None:
+        with open(self.prefix + "-latestInferenceTime.txt", "a") as f:
+            for dt in self.latencies:
+                f.write(f"{dt},")
+        self.latencies.clear()
+
+
+def watch(
+    server: Server,
+    watch_dir: str,
+    poll: float = 0.02,
+    max_frames: Optional[int] = None,
+    idle_timeout: float = 10.0,
+) -> int:
+    """Poll ``watch_dir`` for new image files, serve them in arrival order.
+    Returns the number of frames served (stops after ``max_frames`` or
+    ``idle_timeout`` seconds without new files)."""
+    from ..pipeline import imageio
+
+    seen: Set[str] = set()
+    served = 0
+    last_new = time.monotonic()
+    while True:
+        files = sorted(
+            f
+            for f in os.listdir(watch_dir)
+            if f not in seen and f.endswith((".vtk", ".png", ".mha"))
+        )
+        if files:
+            last_new = time.monotonic()
+        for f in files:
+            seen.add(f)
+            frame = imageio.read_image(os.path.join(watch_dir, f)).data
+            server.handle_frame(np.asarray(frame), served)
+            served += 1
+            if max_frames is not None and served >= max_frames:
+                server.flush_latencies()
+                return served
+        if time.monotonic() - last_new > idle_timeout:
+            server.flush_latencies()
+            return served
+        time.sleep(poll)
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 4:
+        print(
+            "Usage: serve <config_model.json> gpr_prefix watch_dir out_dir"
+            " [--poll s] [--max-frames N] [--features-only]"
+        )
+        return -1
+    with open(argv[0]) as f:
+        config_model = json.load(f)
+    gpr_prefix, watch_dir, out_dir = argv[1:4]
+    poll = float(argv[argv.index("--poll") + 1]) if "--poll" in argv else 0.02
+    max_frames = (
+        int(argv[argv.index("--max-frames") + 1]) if "--max-frames" in argv else None
+    )
+    server = Server(
+        config_model, gpr_prefix, out_dir, features_only="--features-only" in argv
+    )
+    n = watch(server, watch_dir, poll=poll, max_frames=max_frames)
+    lat = np.asarray(server.latencies) if server.latencies else None
+    print(f"served {n} frames")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
