@@ -35,7 +35,23 @@ def main():
         )[:, None]
     )
     kernel = gpr_tpu.Gaussian(jnp.float32(1.0), jnp.float32(1.0))
-    logp = hmc_mod.make_gp_log_posterior(kernel, X, Y, sigma=0.1)
+    from gpr_tpu.kernels import kernels as kermod
+
+    # direct-cholesky MLL (no jitter-escalation while_loop: that control
+    # flow compiles slowly when nested under grad+vmap+scan over the
+    # remote-compile path)
+    def logp(z):
+        theta = jnp.exp(z)
+        k = kernel.with_params(list(theta))
+        K = kermod.gram(k, X)
+        K = K.at[jnp.arange(n), jnp.arange(n)].add(0.1**2)
+        L = jnp.linalg.cholesky(K)
+        alpha = jax.scipy.linalg.cho_solve((L, True), Y)
+        return (
+            -0.5 * jnp.sum(Y * alpha)
+            - jnp.sum(jnp.log(jnp.diagonal(L)))
+            + jnp.sum(z)
+        )
     logp_grad = jax.value_and_grad(logp)
     cfg = hmc_mod.HMCConfig(num_leapfrog=16, jitter_steps=False)
 
