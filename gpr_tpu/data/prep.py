@@ -150,17 +150,21 @@ def dvf_roi(files: Sequence[str]) -> Dict[str, int]:
     }
 
 
-def crop_dvf_roi(src: str, dest: str, fmt: str = "mha") -> Dict[str, int]:
+def crop_dvf_roi(
+    src: str, dest: str, fmt: str = "mha", max_roi_files: Optional[int] = None
+) -> Dict[str, int]:
     """Crop every DVF in ``src`` to the series' common nonzero ROI
     (reference preprocess_dvf.py:74-82 — note the reference's slice
-    convention drops the max index; preserved)."""
+    convention drops the max index; preserved).  ``max_roi_files`` caps how
+    many files define the ROI (reference create_CT_datasets.py:26-27:
+    ``tresh``) — all files are still cropped."""
     files = sorted(
         os.path.join(src, f) for f in os.listdir(src) if f.endswith(fmt)
     )
     if not files:
         raise FileNotFoundError(f"No such file or directory: {src}")
     os.makedirs(dest, exist_ok=True)
-    roi = dvf_roi(files)
+    roi = dvf_roi(files if max_roi_files is None else files[:max_roi_files])
     for f in files:
         img = imageio.read_image(f)
         cropped = img.data[
