@@ -25,7 +25,7 @@ def main():
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     chains = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    T = 64  # draws per timed segment
+    T = int(os.environ.get('BENCH_HMC_T', 64))  # draws per timed segment
 
     rng = np.random.default_rng(0)
     X = jnp.asarray(np.linspace(0, 10, n)[:, None].astype(np.float32))
@@ -61,29 +61,27 @@ def main():
     inv_mass = jnp.ones((2,), jnp.float32)
 
     def make(segments):
+        # single flat scan of segments*T steps (nested scans compile
+        # pathologically slowly over the remote-compile path)
         @jax.jit
         def run(states, key):
-            def seg(states, key_s):
-                keys = jax.random.split(key_s, T)
+            keys = jax.random.split(key, segments * T)
 
-                def step(states, k):
-                    ks = jax.random.split(k, chains)
-                    new, acc = jax.vmap(
-                        lambda s, kk: hmc_mod._hmc_transition(
-                            logp_grad, s, kk, eps, inv_mass, cfg
-                        )
-                    )(states, ks)
-                    return new, acc
+            def step(states, k):
+                ks = jax.random.split(k, chains)
+                new, acc = jax.vmap(
+                    lambda s, kk: hmc_mod._hmc_transition(
+                        logp_grad, s, kk, eps, inv_mass, cfg
+                    )
+                )(states, ks)
+                return new, acc
 
-                states, _ = lax.scan(step, states, keys)
-                return states, None
-
-            states, _ = lax.scan(seg, states, jax.random.split(key, segments))
+            states, _ = lax.scan(step, states, keys)
             return jnp.sum(states.z)
 
         return run
 
-    f1, f4 = make(1), make(4)
+    f1, f4 = make(1), make(2)
     key = jax.random.PRNGKey(0)
     float(f1(states, key)); float(f4(states, key))
 
@@ -95,7 +93,7 @@ def main():
             b = min(b, time.perf_counter() - t0)
         return b
 
-    per_seg = (best(f4) - best(f1)) / 3.0
+    per_seg = best(f4) - best(f1)
     sps = chains * T / per_seg
     print(
         json.dumps(

@@ -24,8 +24,14 @@ from .kernels.kernels import (  # noqa: F401
     params_vector,
 )
 from .kernels.dsl import kernel_to_string, parse_kernel  # noqa: F401
+from .kernels.utils import get_general_kernel  # noqa: F401
 from .gp.exact import GP, fit, load  # noqa: F401
+from .gp.sparse import SparseGP, fit_sparse, fit_svgp  # noqa: F401
+from .gp.batched import fit_batched, mll_batched, predict_batched  # noqa: F401
 from .gp import likelihood  # noqa: F401
+from .inference.optimize import fit_map, fit_mle  # noqa: F401
+from .inference.hmc import HMCConfig, sample_hmc  # noqa: F401
+from .inference.nuts import NUTSConfig, sample_nuts  # noqa: F401
 from .utils import config  # noqa: F401
 
 __version__ = "0.1.0"
