@@ -106,12 +106,17 @@ def main():
     A = jnp.asarray(rng.standard_normal((m, m)), dtype)
     B = jnp.asarray(rng.standard_normal((m, m)), dtype)
 
+    from gpr_tpu.utils.config import matmul_precision
+
     def make_mm(repeats):
+        # peak measured at the SAME precision tier as the workload so the
+        # utilization ratio is meaningful
         @jax.jit
         def mm(a, b):
             out = jnp.asarray(0.0, dtype)
             for _ in range(repeats):
-                out = jnp.sum((a + out * 1e-30) @ b, axis=(0, 1)) * 1e-20 + out
+                c = jnp.matmul(a + out * 1e-30, b, precision=matmul_precision())
+                out = jnp.sum(c, axis=(0, 1)) * 1e-20 + out
             return out
 
         return mm

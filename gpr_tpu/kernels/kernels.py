@@ -52,8 +52,11 @@ def sqdist(X: jax.Array, Y: jax.Array) -> jax.Array:
     xx = jnp.sum(X * X, axis=-1)
     yy = jnp.sum(Y * Y, axis=-1)
     # preferred_element_type pins the MXU accumulator
+    from ..utils.config import matmul_precision
+
     xy = jax.lax.dot_general(
-        X, Y, (((1,), (1,)), ((), ())), preferred_element_type=X.dtype
+        X, Y, (((1,), (1,)), ((), ())), preferred_element_type=X.dtype,
+        precision=matmul_precision(),
     )
     d2 = xx[:, None] + yy[None, :] - 2.0 * xy
     return jnp.maximum(d2, 0.0)
@@ -377,8 +380,11 @@ class Periodic(Kernel):
         d = X.shape[-1]
         cx, sx = jnp.cos(2 * self.b * X), jnp.sin(2 * self.b * X)
         cy, sy = jnp.cos(2 * self.b * Y), jnp.sin(2 * self.b * Y)
+        from ..utils.config import matmul_precision
+
         dot = lambda A, B: jax.lax.dot_general(
-            A, B, (((1,), (1,)), ((), ())), preferred_element_type=A.dtype
+            A, B, (((1,), (1,)), ((), ())), preferred_element_type=A.dtype,
+            precision=matmul_precision(),
         )
         cos_sum = dot(cx, cy) + dot(sx, sy)
         sin2 = 0.5 * (d - cos_sum)

@@ -24,6 +24,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..utils.config import matmul_precision
+
 
 def _round_split(n: int, align: int = 128) -> int:
     """Split point: half of n rounded up to the alignment (MXU tiles)."""
@@ -54,7 +56,10 @@ def solve_triangular_blocked(
     L11, L21, L22 = L[:m, :m], L[m:, :m], L[m:, m:]
     B1, B2 = B[:m], B[m:]
     X1 = solve_triangular_blocked(L11, B1, lower=True, leaf=leaf)
-    rhs = B2 - jnp.matmul(L21, X1, preferred_element_type=B.dtype)
+    rhs = B2 - jnp.matmul(
+        L21, X1, preferred_element_type=B.dtype,
+        precision=matmul_precision(),
+    )
     X2 = solve_triangular_blocked(L22, rhs, lower=True, leaf=leaf)
     return jnp.concatenate([X1, X2], axis=0)
 
@@ -83,7 +88,10 @@ def cholesky_blocked(A: jax.Array, *, leaf: int = 256, gemm_dtype=None) -> jax.A
             preferred_element_type=A.dtype,
         ).astype(A.dtype)
     else:
-        upd = jnp.matmul(L21, L21.T, preferred_element_type=A.dtype)
+        upd = jnp.matmul(
+            L21, L21.T, preferred_element_type=A.dtype,
+            precision=matmul_precision(),
+        )
     S22 = A22 - upd
     S22 = 0.5 * (S22 + S22.T)
     L22 = cholesky_blocked(S22, leaf=leaf, gemm_dtype=gemm_dtype)

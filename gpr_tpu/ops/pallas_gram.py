@@ -40,7 +40,8 @@ def _gram_kernel(params_ref, x_ref, y_ref, o_ref, *, form: str):
     x = x_ref[:]
     y = y_ref[:]
     xy = jax.lax.dot_general(
-        x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # v5e default rounds to bf16
     )
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)

@@ -70,3 +70,30 @@ def policy_scope(name: str):
         yield _active
     finally:
         _active = prev
+
+
+# ---------------------------------------------------------------------------
+# matmul precision policy
+# ---------------------------------------------------------------------------
+# On TPU v5e, f32 matmuls at jax's DEFAULT precision round operands to
+# bf16 — measured 2.4e-3 relative error at m=4096, enough to break
+# Gram-matrix conditioning and posterior parity.  Tiers measured on v5e:
+#   default  2.4e-3 rel err  (1 bf16 pass,  fastest)
+#   high     1.3e-5 rel err  (bf16x3 ~ f32-grade, ~2x default cost)
+#   highest  5.8e-7 rel err  (bf16x6 = full f32, ~3x default cost)
+# The numerics core defaults to "high" — f32-grade accuracy at ~2/3 the
+# cost of full f32; switch to "highest" for bit-level parity studies or
+# "default" for throughput experiments.
+
+_matmul_precision = "high"
+
+
+def set_matmul_precision(p: str) -> None:
+    global _matmul_precision
+    if p not in ("default", "high", "highest"):
+        raise ValueError(f"unknown matmul precision {p!r}")
+    _matmul_precision = p
+
+
+def matmul_precision() -> str:
+    return _matmul_precision

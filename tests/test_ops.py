@@ -171,3 +171,45 @@ class TestPallasGramInFit:
         np.testing.assert_allclose(
             np.asarray(g1.alpha), np.asarray(g2.alpha), atol=5e-3, rtol=1e-3
         )
+
+
+class TestPallasCholeskyV2:
+    """Strip-panelled Pallas Cholesky (rank-sw MXU updates)."""
+
+    @pytest.mark.parametrize("n,sw", [(128, 8), (256, 8), (256, 16)])
+    def test_matches_numpy(self, n, sw):
+        from gpr_tpu.ops.pallas_chol import cholesky_pallas_v2
+
+        rng = np.random.default_rng(0)
+        A = rng.standard_normal((n, n)).astype(np.float32)
+        A = A @ A.T + n * np.eye(n, dtype=np.float32)
+        L = np.asarray(cholesky_pallas_v2(jnp.asarray(A), sw=sw, interpret=True))
+        ref = np.linalg.cholesky(A)
+        assert np.abs(L - ref).max() / np.abs(ref).max() < 1e-5
+
+    def test_bad_strip_width(self):
+        from gpr_tpu.ops.pallas_chol import cholesky_pallas_v2
+
+        with pytest.raises(ValueError):
+            cholesky_pallas_v2(jnp.eye(100), sw=8, interpret=True)
+
+
+class TestMatmulPrecisionPolicy:
+    def test_default_is_high(self):
+        """v5e f32 matmuls at jax-default precision round operands to bf16
+        (~2e-3 rel err) — the numerics core must default to an f32-grade
+        tier (bf16x3 'high': 1.3e-5)."""
+        from gpr_tpu.utils import config as cfg
+
+        assert cfg.matmul_precision() == "high"
+
+    def test_switchable(self):
+        from gpr_tpu.utils import config as cfg
+
+        cfg.set_matmul_precision("default")
+        try:
+            assert cfg.matmul_precision() == "default"
+            with pytest.raises(ValueError):
+                cfg.set_matmul_precision("bogus")
+        finally:
+            cfg.set_matmul_precision("high")
