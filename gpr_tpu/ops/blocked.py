@@ -109,3 +109,61 @@ def cho_solve_blocked(L: jax.Array, B: jax.Array, *, leaf: int = 256) -> jax.Arr
         Lt[::-1, ::-1], Y[::-1], lower=True, leaf=leaf
     )
     return Xf[::-1]
+
+
+def cholesky_rightlooking(
+    A: jax.Array, *, panel: int = 512, leaf: int = 256
+) -> jax.Array:
+    """Right-looking panel Cholesky with a SHRINKING carried submatrix.
+
+    Alternative schedule kept for study: a python loop over column panels
+    carrying only the trailing Schur complement (6 ops per panel, maximal
+    GEMMs).  MEASURED SLOWER than :func:`cholesky_blocked` on v5e (n=8192:
+    14.7-22.8 ms vs 6.8 ms) — the strictly sequential panel chain defeats
+    XLA's ability to overlap independent subtree work in the recursive
+    DAG, and the per-panel trailing-slice copies add ~n^3/(3 panel) bytes
+    of traffic.  The recursive variant remains the dispatch default."""
+    n = A.shape[0]
+    if n <= panel:
+        return cholesky_blocked(A, leaf=leaf)
+    pad = (-n) % panel
+    if pad:
+        # pad with an identity block (keeps SPD); crop at the end
+        A = jnp.concatenate(
+            [
+                jnp.concatenate([A, jnp.zeros((n, pad), A.dtype)], axis=1),
+                jnp.concatenate(
+                    [jnp.zeros((pad, n), A.dtype), jnp.eye(pad, dtype=A.dtype)],
+                    axis=1,
+                ),
+            ],
+            axis=0,
+        )
+    np_ = A.shape[0]
+    nb = np_ // panel
+
+    S = A
+    blocks = []  # per panel k: (Lkk, Pk) with Pk possibly empty
+    for k in range(nb):
+        Akk = S[:panel, :panel]
+        Lkk = cholesky_blocked(Akk, leaf=leaf)
+        if S.shape[0] > panel:
+            below = S[panel:, :panel]
+            Pk = solve_triangular_blocked(Lkk, below.T, leaf=leaf).T
+            S = S[panel:, panel:] - jnp.matmul(
+                Pk, Pk.T, preferred_element_type=A.dtype,
+                precision=matmul_precision(),
+            )
+            S = 0.5 * (S + S.T)
+        else:
+            Pk = jnp.zeros((0, panel), A.dtype)
+        blocks.append((Lkk, Pk))
+
+    cols = []
+    for k, (Lkk, Pk) in enumerate(blocks):
+        col = jnp.concatenate(
+            [jnp.zeros((k * panel, panel), A.dtype), Lkk, Pk], axis=0
+        )
+        cols.append(col)
+    L = jnp.concatenate(cols, axis=1)
+    return L[:n, :n]

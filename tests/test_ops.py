@@ -213,3 +213,13 @@ class TestMatmulPrecisionPolicy:
                 cfg.set_matmul_precision("bogus")
         finally:
             cfg.set_matmul_precision("high")
+
+
+class TestRightLookingCholesky:
+    @pytest.mark.parametrize("n,panel", [(700, 512), (1536, 512), (1024, 1024)])
+    def test_matches_numpy(self, n, panel):
+        from gpr_tpu.ops.blocked import cholesky_rightlooking
+
+        A = _spd(n, seed=11)
+        L = np.asarray(cholesky_rightlooking(jnp.asarray(A), panel=panel))
+        np.testing.assert_allclose(L, np.linalg.cholesky(A), atol=1e-9 * n)
