@@ -13,6 +13,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -49,6 +50,18 @@ def _time_scalar_fn(make_fn, *args, repeats=8, iters=3):
 
 def main():
     import jax
+
+    # persistent compilation cache: the n=16k programs take minutes to
+    # compile over the remote tunnel; cache them across driver runs
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/gpr_tpu_jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except (AttributeError, ValueError):
+        pass  # older jax without the knob
+
     import jax.numpy as jnp
 
     from gpr_tpu.gp import exact
@@ -56,7 +69,6 @@ def main():
     from gpr_tpu.ops import linalg
     import gpr_tpu
 
-    import os
     import sys
 
     backend = jax.default_backend()
@@ -95,14 +107,15 @@ def main():
 
         return fit_step
 
-    t_fit = _time_scalar_fn(make_fit, X, Y, sigma, repeats=4)
+    t_start = time.perf_counter()
+    t_fit = _time_scalar_fn(make_fit, X, Y, sigma, repeats=3)
 
     # FLOP model: Gram GEMM 2n^2 d, Cholesky n^3/3, two triangular solves 2n^2 q
     flops = 2.0 * n * n * d + n**3 / 3.0 + 2.0 * n * n * q
     tflops = flops / t_fit / 1e12
 
     # measured matmul speed-of-light on this chip (same dtype, MXU-shaped)
-    m = 8192 if on_accel else 1024
+    m = 4096 if on_accel else 1024
     A = jnp.asarray(rng.standard_normal((m, m)), dtype)
     B = jnp.asarray(rng.standard_normal((m, m)), dtype)
 
@@ -121,8 +134,20 @@ def main():
 
         return mm
 
-    t_mm = _time_scalar_fn(make_mm, A, B, repeats=8)
-    peak_tflops = 2.0 * m**3 / t_mm / 1e12
+    # measured on this chip at the 'high' tier (BENCHMARKS.md); used when
+    # the peak re-measurement would blow the driver's time budget
+    PEAK_FALLBACK_TFLOPS = 63.0
+    elapsed = time.perf_counter() - t_start
+    if elapsed > float(os.environ.get("BENCH_TIME_BUDGET", 420)):
+        print(
+            f"bench: skipping peak re-measurement ({elapsed:.0f}s elapsed); "
+            f"using recorded {PEAK_FALLBACK_TFLOPS} TF/s",
+            file=sys.stderr,
+        )
+        peak_tflops = PEAK_FALLBACK_TFLOPS if on_accel else 1e12
+    else:
+        t_mm = _time_scalar_fn(make_mm, A, B, repeats=6)
+        peak_tflops = 2.0 * m**3 / t_mm / 1e12
 
     utilization = tflops / peak_tflops
     vs_baseline = utilization / 0.70  # north-star: >=70% of matmul peak
