@@ -126,3 +126,32 @@ def test_drift_runner(experiment_tree):
     # window artifacts are separate
     assert os.path.isdir(root / "reg3d" / "gpr_win0000")
     assert os.path.isdir(root / "reg3d" / "gpr_win0005")
+
+
+def test_external_stage_gating(tmp_path):
+    """External registration/stacking stages run via subprocess only when
+    configured (reference main.py spawns gdr/ims4dMRI via os.system,
+    main.py:40,182) — exercised here with a stub executable."""
+    import yaml
+
+    from gpr_tpu.apps import experiments
+
+    marker = tmp_path / "ran.txt"
+    stub = tmp_path / "stub.sh"
+    stub.write_text(f"#!/bin/sh\necho yes > {marker}\n")
+    stub.chmod(0o755)
+
+    config = {
+        "options": {"stacking": True, "regression": False, "evaluation": False},
+        "exe": {"stacking": str(stub)},
+        "general": {"root_dir": str(tmp_path)},
+    }
+    cfg = tmp_path / "c.yaml"
+    with open(cfg, "w") as f:
+        yaml.safe_dump(config, f)
+    assert experiments.main([str(cfg)]) == 0
+    assert marker.exists()
+
+    # a failing stage propagates its exit code
+    stub.write_text("#!/bin/sh\nexit 3\n")
+    assert experiments.main([str(cfg)]) == 3
