@@ -86,3 +86,37 @@ class TestNUTSOnGP:
             np.exp(med_nuts[0]), np.exp(med_hmc[0]), rtol=0.15
         )
         assert np.all(np.asarray(nuts_res.accept_rate) > 0.5)
+
+
+class TestNUTSNonGaussian:
+    def test_lognormal_target_moments(self):
+        """Exact non-Gaussian check: z ~ N(mu, s^2) componentwise implies
+        exp(z) has known log-normal mean/variance; sampling in z-space must
+        reproduce them (this is precisely the GP log-hyperparameter
+        situation)."""
+        mu = jnp.asarray([0.3, -0.5])
+        s = jnp.asarray([0.4, 0.7])
+        logp = lambda z: -0.5 * jnp.sum(((z - mu) / s) ** 2)
+        res = sample_nuts(
+            logp, np.zeros((4, 2)), jax.random.PRNGKey(7),
+            NUTSConfig(num_warmup=300, num_samples=500, max_depth=6),
+        )
+        theta = np.exp(np.asarray(res.samples).reshape(-1, 2))
+        mean_expected = np.exp(np.asarray(mu) + np.asarray(s) ** 2 / 2)
+        np.testing.assert_allclose(theta.mean(0), mean_expected, rtol=0.1)
+        var_expected = (np.exp(np.asarray(s) ** 2) - 1) * mean_expected**2
+        np.testing.assert_allclose(theta.var(0), var_expected, rtol=0.35)
+
+    def test_ess_is_healthy(self):
+        """NUTS draws on a standard normal must have high effective sample
+        size per draw (the adaptive trajectories decorrelate)."""
+        from gpr_tpu.inference.hmc import effective_sample_size
+
+        logp = lambda z: -0.5 * jnp.sum(z * z)
+        res = sample_nuts(
+            logp, np.zeros((4, 2)), jax.random.PRNGKey(8),
+            NUTSConfig(num_warmup=200, num_samples=300, max_depth=6),
+        )
+        ess = np.asarray(effective_sample_size(res.samples))
+        total = 4 * 300
+        assert np.all(ess > 0.25 * total), ess
