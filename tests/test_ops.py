@@ -223,3 +223,24 @@ class TestRightLookingCholesky:
         A = _spd(n, seed=11)
         L = np.asarray(cholesky_rightlooking(jnp.asarray(A), panel=panel))
         np.testing.assert_allclose(L, np.linalg.cholesky(A), atol=1e-9 * n)
+
+
+class TestBufferThreadedV2:
+    @pytest.mark.parametrize("n", [300, 1024])
+    def test_chol_v2_matches(self, n):
+        from gpr_tpu.ops.blocked import cholesky_blocked_v2
+
+        A = _spd(n, seed=12)
+        L = np.asarray(cholesky_blocked_v2(jnp.asarray(A)))
+        np.testing.assert_allclose(
+            np.tril(L), np.linalg.cholesky(A), atol=1e-9 * n
+        )
+
+    def test_solve_v2_matches(self):
+        from gpr_tpu.ops.blocked import solve_triangular_blocked_v2
+
+        n = 700
+        L = np.linalg.cholesky(_spd(n, seed=13))
+        B = np.random.default_rng(14).standard_normal((n, 3))
+        X = np.asarray(solve_triangular_blocked_v2(jnp.asarray(L), jnp.asarray(B)))
+        np.testing.assert_allclose(L @ X, B, atol=1e-8)
