@@ -27,6 +27,14 @@ import jax.numpy as jnp
 from ..utils.config import matmul_precision
 
 
+def _default_leaf() -> int:
+    """Precision-dependent recursion leaf (measured v5e, n=8192):
+    at the fast 'default' tier small leaves win (256: 6.2 ms vs 1024:
+    7.2 ms); at the f32-grade 'high' tier the slower GEMMs shift the
+    balance to bigger leaves (1024: 6.7 ms vs 256: 8.8 ms)."""
+    return 256 if matmul_precision() == "default" else 1024
+
+
 def _round_split(n: int, align: int = 128) -> int:
     """Split point: half of n rounded up to the alignment (MXU tiles)."""
     half = (n + 1) // 2
@@ -34,13 +42,15 @@ def _round_split(n: int, align: int = 128) -> int:
 
 
 def solve_triangular_blocked(
-    L: jax.Array, B: jax.Array, *, lower: bool = True, leaf: int = 256
+    L: jax.Array, B: jax.Array, *, lower: bool = True, leaf: int = 0
 ) -> jax.Array:
     """X with L X = B (L lower-triangular), recursively blocked.
 
     [[L11,  0 ], [X1]   [B1]      X1 = L11^-1 B1
      [L21, L22]] [X2] = [B2]  ->  X2 = L22^-1 (B2 - L21 X1)
     """
+    if leaf <= 0:
+        leaf = _default_leaf()
     if not lower:
         # U X = B with U upper: solve via the lower-triangular routine on
         # the flipped problem (reverse both axes)
@@ -64,13 +74,15 @@ def solve_triangular_blocked(
     return jnp.concatenate([X1, X2], axis=0)
 
 
-def cholesky_blocked(A: jax.Array, *, leaf: int = 256, gemm_dtype=None) -> jax.Array:
+def cholesky_blocked(A: jax.Array, *, leaf: int = 0, gemm_dtype=None) -> jax.Array:
     """Lower Cholesky factor of SPD ``A`` by trace-time recursion.
 
     ``gemm_dtype=jnp.bfloat16`` routes the trailing-update GEMM operands
     through bf16 (f32 accumulation) — ~2x MXU throughput on v5e for the
     ~2/3 of flops in the updates, at ~3-decimal-digit operand rounding.
     The fast-policy option; leave None for parity work."""
+    if leaf <= 0:
+        leaf = _default_leaf()
     n = A.shape[0]
     if n <= leaf:
         return jnp.linalg.cholesky(A)
@@ -100,8 +112,10 @@ def cholesky_blocked(A: jax.Array, *, leaf: int = 256, gemm_dtype=None) -> jax.A
     return jnp.concatenate([top, bot], axis=0)
 
 
-def cho_solve_blocked(L: jax.Array, B: jax.Array, *, leaf: int = 256) -> jax.Array:
+def cho_solve_blocked(L: jax.Array, B: jax.Array, *, leaf: int = 0) -> jax.Array:
     """Solve A X = B given A = L L^T (blocked forward + backward solves)."""
+    if leaf <= 0:
+        leaf = _default_leaf()
     Y = solve_triangular_blocked(L, B, lower=True, leaf=leaf)
     # L^T X = Y: upper-triangular solve via the flip trick
     Lt = L.T
