@@ -185,3 +185,26 @@ class TestSVGP:
         pred = np.asarray(sgp.predict(X))
         rmse = float(np.sqrt(np.mean((pred[:, 0] - np.sin(X[:, 0])) ** 2)))
         assert rmse < 0.15
+
+
+def test_dense_mle_to_sparse_predict_handoff(rng):
+    """The reference's MaximumLikelihoodTest2 scenario (.cpp:120): optimize
+    hyperparameters on the DENSE likelihood, then hand them to a sparse
+    inducing-point GP for prediction — quality must carry over."""
+    from gpr_tpu.inference.optimize import fit_mle
+
+    X = np.linspace(0, 10, 160)
+    Y = np.sin(X) + 0.05 * rng.standard_normal(160)
+    k0 = gt.Gaussian(0.5, 0.5)
+    k_opt, _ = fit_mle(k0, X, Y, sigma=0.05, iterations=120, learning_rate=0.05)
+
+    Z = X[::8][:, None]  # 20 inducing points
+    sgp = sp.fit_sparse(k_opt, Z, X[:, None], Y, sigma=0.05)
+    pred = np.asarray(sgp.predict(X[:, None]))[:, 0]
+    rmse = float(np.sqrt(np.mean((pred - np.sin(X)) ** 2)))
+    assert rmse < 0.08, rmse
+    # the MLE must have moved the hyperparameters off the initialization
+    assert not np.allclose(
+        np.asarray(kermod.params_vector(k_opt)),
+        np.asarray(kermod.params_vector(k0)),
+    )
