@@ -139,7 +139,6 @@ def main(argv=None) -> int:
         config_model, gpr_prefix, out_dir, features_only="--features-only" in argv
     )
     n = watch(server, watch_dir, poll=poll, max_frames=max_frames)
-    lat = np.asarray(server.latencies) if server.latencies else None
     print(f"served {n} frames")
     return 0
 
