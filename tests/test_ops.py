@@ -244,3 +244,35 @@ class TestBufferThreadedV2:
         B = np.random.default_rng(14).standard_normal((n, 3))
         X = np.asarray(solve_triangular_blocked_v2(jnp.asarray(L), jnp.asarray(B)))
         np.testing.assert_allclose(L @ X, B, atol=1e-8)
+
+
+class TestPallasPanel:
+    """Fused panel factorizer (interpret mode)."""
+
+    @pytest.mark.parametrize("n", [256, 1024])
+    def test_panel_matches_cholesky_columns(self, n):
+        from gpr_tpu.ops.pallas_panel import panel_factor
+
+        rng = np.random.default_rng(0)
+        M = rng.standard_normal((n, n)).astype(np.float32)
+        A = M @ M.T + n * np.eye(n, dtype=np.float32)
+        L = np.asarray(panel_factor(jnp.asarray(A[:, :256]), interpret=True))
+        Lref = np.linalg.cholesky(A)[:, :256]
+        assert np.abs(L - Lref).max() / np.abs(Lref).max() < 1e-5
+
+    def test_full_factorization(self):
+        from gpr_tpu.ops.pallas_panel import cholesky_panels
+
+        n = 768
+        rng = np.random.default_rng(1)
+        M = rng.standard_normal((n, n)).astype(np.float32)
+        A = M @ M.T + n * np.eye(n, dtype=np.float32)
+        L = np.asarray(cholesky_panels(jnp.asarray(A), interpret=True))
+        ref = np.linalg.cholesky(A)
+        assert np.abs(np.tril(L) - ref).max() / np.abs(ref).max() < 1e-5
+
+    def test_shape_validation(self):
+        from gpr_tpu.ops.pallas_panel import panel_factor
+
+        with pytest.raises(ValueError):
+            panel_factor(jnp.zeros((300, 256)), interpret=True)
