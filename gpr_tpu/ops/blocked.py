@@ -61,6 +61,9 @@ def solve_triangular_blocked(
 
     n = L.shape[0]
     if n <= leaf:
+        # NOTE a leaf-inverse + GEMM variant for fat rhs was measured and
+        # REJECTED (chol n=8192: 9.7 ms vs 6.7 ms) — XLA's triangular
+        # solve already processes wide rhs near GEMM rate
         return jax.scipy.linalg.solve_triangular(L, B, lower=True)
     m = _round_split(n)
     L11, L21, L22 = L[:m, :m], L[m:, :m], L[m:, m:]
