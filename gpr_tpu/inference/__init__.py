@@ -1,3 +1,3 @@
 """Hyperparameter inference: MAP/MLE optimizers, HMC, priors, utilities."""
 
-from . import hmc, optimize, period, prior_utils, priors  # noqa: F401
+from . import hmc, nuts, optimize, period, predictive, prior_utils, priors  # noqa: F401
