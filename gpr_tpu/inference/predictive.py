@@ -101,3 +101,61 @@ def predictive_from_hmc(
     and compute the mixture predictive."""
     theta = subsample_draws(result.samples, num_draws)
     return predictive(kernel, theta, X, Y, Xs, sigma, include_noise)
+
+
+def predictive_sharded(
+    kernel,
+    theta_draws: jax.Array,
+    X,
+    Y,
+    Xs,
+    sigma,
+    mesh=None,
+    axis: str = "draws",
+    include_noise: bool = True,
+) -> PredictiveResult:
+    """Mixture predictive with the DRAW axis sharded over a device mesh —
+    each chip fits/predicts its shard of posterior draws, the mixture
+    moments combine with psum means (embarrassingly parallel; one
+    collective pair at the end)."""
+    import numpy as np
+    from jax import lax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    if mesh is None:
+        devs = jax.devices()
+        mesh = Mesh(np.array(devs), (axis,))
+    S = theta_draws.shape[0]
+    n_dev = mesh.devices.size
+    if S % n_dev != 0:
+        raise ValueError(
+            f"num draws ({S}) must be divisible by mesh size ({n_dev})"
+        )
+    sigmas = jnp.broadcast_to(
+        jnp.asarray(sigma, jnp.asarray(X).dtype), (S,)
+    )
+
+    def shard_fn(theta_local, sigma_local):
+        res = predictive(
+            kernel, theta_local, X, Y, Xs, sigma_local, include_noise
+        )
+        # combine mixture moments across shards
+        mean = lax.pmean(jnp.mean(res.mean_per_draw, axis=0), axis)
+        e_var = lax.pmean(jnp.mean(res.variance_per_draw, axis=0), axis)
+        q = res.mean_per_draw.shape[-1]
+        e_msq = lax.pmean(
+            jnp.mean(jnp.sum(res.mean_per_draw**2, axis=-1) / q, axis=0), axis
+        )
+        var = e_var + jnp.maximum(e_msq - jnp.sum(mean**2, axis=-1) / q, 0.0)
+        return mean, var, res.mean_per_draw, res.variance_per_draw
+
+    mean, var, mpd, vpd = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(), P(), P(axis, None, None), P(axis, None)),
+        check_vma=False,
+    )(theta_draws, sigmas)
+    return PredictiveResult(
+        mean=mean, variance=var, mean_per_draw=mpd, variance_per_draw=vpd
+    )

@@ -84,3 +84,36 @@ class TestPredictive:
         t = subsample_draws(z, 16)
         assert t.shape == (16, 3)
         np.testing.assert_allclose(np.asarray(t), 1.0)  # exp(0)
+
+
+class TestShardedPredictive:
+    def test_matches_single_device(self, dataset):
+        """Draws sharded over 8 devices reproduce the single-device mixture
+        exactly (psum-combined moments)."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from gpr_tpu.inference.predictive import predictive_sharded
+
+        X, Y = dataset
+        rng = np.random.default_rng(1)
+        theta = jnp.asarray(np.abs(rng.normal(1.2, 0.2, (16, 2))))
+        k = gpr_tpu.Gaussian(1.0, 1.0)
+        r1 = predictive(k, theta, X, Y, X[:8], 0.1)
+        r2 = predictive_sharded(k, theta, X, Y, X[:8], 0.1)
+        np.testing.assert_allclose(
+            np.asarray(r2.mean), np.asarray(r1.mean), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(r2.variance), np.asarray(r1.variance), atol=1e-12
+        )
+
+    def test_indivisible_draws_rejected(self, dataset):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from gpr_tpu.inference.predictive import predictive_sharded
+
+        X, Y = dataset
+        with pytest.raises(ValueError):
+            predictive_sharded(
+                gpr_tpu.Gaussian(1.0, 1.0), jnp.ones((10, 2)), X, Y, X[:4], 0.1
+            )
