@@ -68,7 +68,9 @@ def predictive(
         k = kernel.with_params(list(theta))
         K = kermod.gram(k, X)
         K = linalg.add_diagonal(K, s**2)
-        L = jnp.linalg.cholesky(K)
+        # jitter-escalating factorization: posterior draws can land on
+        # ill-conditioned kernels (huge lengthscales -> near-rank-1 K)
+        L, _ = linalg.safe_cholesky(K)
         alpha = jax.scipy.linalg.cho_solve((L, True), Y)
         Ks = kermod.gram(k, Xs, X)
         mean = Ks @ alpha
