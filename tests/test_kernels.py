@@ -151,3 +151,40 @@ def test_gram_derivative_matches_analytic(rng):
     auto = np.asarray(gt.gram_derivative(kernel, X))
     analytic = np.asarray(kermod.analytic_gram_derivative(kernel, X))
     np.testing.assert_allclose(auto, analytic, rtol=1e-8, atol=1e-10)
+
+
+def test_random_kernel_trees_roundtrip_and_psd(rng):
+    """Fuzz: random nested Sum/Product trees must round-trip through the
+    kernel-string DSL and produce symmetric PSD Gram matrices."""
+    import gpr_tpu
+    from gpr_tpu.kernels import kernels as kermod
+
+    def random_kernel(depth, rs):
+        if depth == 0 or rs.random() < 0.4:
+            choice = rs.integers(0, 4)
+            p = lambda: float(rs.uniform(0.5, 3.0))
+            if choice == 0:
+                return kermod.Gaussian(p(), p())
+            if choice == 1:
+                return kermod.White(p())
+            if choice == 2:
+                return kermod.RationalQuadratic(p(), p(), p())
+            return kermod.Periodic(p(), p(), p())
+        combo = kermod.Sum if rs.random() < 0.5 else kermod.Product
+        return combo(random_kernel(depth - 1, rs), random_kernel(depth - 1, rs))
+
+    X = jnp.asarray(rng.standard_normal((12, 2)))
+    for seed in range(8):
+        rs = np.random.default_rng(seed)
+        k = random_kernel(3, rs)
+        # DSL round trip
+        k2 = gpr_tpu.parse_kernel(gpr_tpu.kernel_to_string(k))
+        assert k == k2, gpr_tpu.kernel_to_string(k)
+        # params round trip
+        k3 = k.with_params([float(p) for p in k.params])
+        assert k == k3
+        # Gram: symmetric and PSD (kernels are valid covariances)
+        K = np.asarray(kermod.gram(k, X))
+        np.testing.assert_allclose(K, K.T, atol=1e-12)
+        evals = np.linalg.eigvalsh(K)
+        assert evals.min() > -1e-8, evals.min()
