@@ -102,3 +102,44 @@ class TestShardedNUTS:
         s = np.asarray(res.samples).reshape(-1, 2)
         np.testing.assert_allclose(s.mean(0), [0, 0], atol=0.2)
         np.testing.assert_allclose(s.std(0), [1, 1], atol=0.25)
+
+
+class TestDeterminism:
+    def test_sharded_hmc_reproducible(self):
+        """Fixed PRNG keys -> bitwise-identical sharded chains across runs
+        (SURVEY.md §7 'multi-host determinism' hard part)."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from gpr_tpu.parallel.sharded_hmc import (
+            default_mesh as chains_mesh,
+            sample_hmc_sharded,
+        )
+        from gpr_tpu.inference.hmc import HMCConfig
+
+        logp = lambda z: -0.5 * jnp.sum(z * z)
+        cfg = HMCConfig(num_warmup=50, num_samples=50)
+        r1 = sample_hmc_sharded(
+            logp, np.zeros((16, 2)), jax.random.PRNGKey(5), cfg,
+            mesh=chains_mesh(8),
+        )
+        r2 = sample_hmc_sharded(
+            logp, np.zeros((16, 2)), jax.random.PRNGKey(5), cfg,
+            mesh=chains_mesh(8),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r1.samples), np.asarray(r2.samples)
+        )
+        assert float(r1.step_size) == float(r2.step_size)
+
+    def test_sharded_fit_deterministic(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        rng = np.random.default_rng(9)
+        X = jnp.asarray(rng.standard_normal((64, 2)))
+        Y = jnp.asarray(rng.standard_normal((64, 1)))
+        k = Gaussian(1.1, 0.8)
+        mesh = sg.default_mesh(8)
+        a1, l1, _ = sg.fit_sharded(k, X, Y, 0.2, mesh)
+        a2, l2, _ = sg.fit_sharded(k, X, Y, 0.2, mesh)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        assert float(l1) == float(l2)
