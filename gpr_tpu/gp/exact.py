@@ -346,3 +346,32 @@ def load(prefix: str, dtype=None) -> GP:
         alpha=jnp.asarray(alpha),
         L=L,
     )
+
+
+def loo_cv(gp: GP):
+    """Exact leave-one-out cross-validation from ONE factorization.
+
+    For A = K + sigma^2 I and alpha = A^-1 Y, the classic identities
+    (Rasmussen & Williams 5.10-5.12):
+
+        loo_mean_i = y_i - alpha_i / (A^-1)_ii
+        loo_var_i  = 1 / (A^-1)_ii
+
+    give every held-out posterior without n refits — O(n^3) total instead
+    of O(n^4).  Beyond the reference's capability surface (it selects
+    models by training error and paper-level validation only); returns
+    (loo_mean (n, q), loo_var (n,), log predictive density scalar)."""
+    import math
+
+    L = gp._require_core()
+    eye = jnp.eye(L.shape[0], dtype=L.dtype)
+    Ainv = linalg.cho_solve(L, eye)
+    diag = jnp.diagonal(Ainv)
+    loo_mean = gp.Y - gp.alpha / diag[:, None]
+    loo_var = 1.0 / diag
+    resid = gp.Y - loo_mean
+    lpd = jnp.sum(
+        -0.5 * jnp.log(2 * math.pi * loo_var)[:, None]
+        - 0.5 * resid**2 / loo_var[:, None]
+    )
+    return loo_mean, loo_var, lpd

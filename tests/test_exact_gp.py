@@ -216,3 +216,25 @@ def test_performance_shape_n2500_d73(rng):
     P = np.asarray(gp.predict(jnp.asarray(rng.standard_normal((50, d)))))
     assert P.shape == (50, d)
     assert np.all(np.isfinite(P))
+
+
+def test_loo_cv_matches_refits(rng):
+    """The one-factorization LOO identities must equal brute-force refits
+    without each point."""
+    from gpr_tpu.gp.exact import loo_cv
+
+    n = 25
+    X = np.linspace(0, 5, n)
+    Y = np.sin(X) + 0.1 * rng.standard_normal(n)
+    k = gt.Gaussian(1.0, 1.0)
+    gp = gt.fit(k, X, Y, sigma=0.2)
+    loo_mean, loo_var, lpd = loo_cv(gp)
+
+    for i in (0, 7, 24):
+        mask = np.arange(n) != i
+        gp_i = gt.fit(k, X[mask], Y[mask], sigma=0.2)
+        m = float(np.asarray(gp_i.predict(np.atleast_1d(X[i])))[0])
+        v = float(gp_i.posterior_cov(np.atleast_1d(X[i]), np.atleast_1d(X[i]))) + 0.2**2
+        np.testing.assert_allclose(float(loo_mean[i, 0]), m, rtol=1e-8)
+        np.testing.assert_allclose(float(loo_var[i]), v, rtol=1e-8)
+    assert np.isfinite(float(lpd))
