@@ -215,3 +215,38 @@ def cholesky_panels(A: jax.Array, *, tile: int = 256, interpret: bool = False) -
             jnp.concatenate([jnp.zeros((k * tile, tile), A.dtype), Lp], axis=0)
         )
     return jnp.concatenate(cols, axis=1)
+
+
+def cholesky_left_panels(
+    A: jax.Array, *, tile: int = 256, interpret: bool = False
+) -> jax.Array:
+    """LEFT-looking factorization on fused panels: panel k is corrected by
+    ONE wide-k GEMM against all previously factored columns, then factored
+    by :func:`panel_factor`.  Unlike the right-looking variant the update
+    GEMMs have contraction dim k*tile (wide — MXU-efficient at the
+    f32-grade precision tiers); L accumulates in a preallocated buffer via
+    static-offset ``.at.set``.
+
+    MEASURED (v5e, n=8192, high tier): 13.7 ms (tile 256) / 20.2 ms (512)
+    vs 9.1 ms recursive — better than right-looking (18.4 ms) but still
+    behind: the strided L[j0:, :j0] reads and the strict panel chain cost
+    more than the wide-k GEMMs save.  Fifth measured schedule; the
+    recursive ops/blocked.py remains the dispatch default."""
+    n = A.shape[0]
+    if n % tile != 0:
+        raise ValueError(f"cholesky_left_panels: n ({n}) must be a multiple of {tile}")
+    nb = n // tile
+    L = jnp.zeros_like(A)
+    for k in range(nb):
+        j0 = k * tile
+        P = A[j0:, j0 : j0 + tile]  # (n - j0, tile)
+        if k > 0:
+            left = L[j0:, :j0]  # (n - j0, j0)
+            row_blk = L[j0 : j0 + tile, :j0]  # (tile, j0)
+            P = P - jax.lax.dot_general(
+                left, row_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=A.dtype, precision=_HI,
+            )
+        Lp = panel_factor(P, tile=tile, interpret=interpret)
+        L = L.at[j0:, j0 : j0 + tile].set(Lp)
+    return L

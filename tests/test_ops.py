@@ -276,3 +276,16 @@ class TestPallasPanel:
 
         with pytest.raises(ValueError):
             panel_factor(jnp.zeros((300, 256)), interpret=True)
+
+
+class TestLeftLookingPanels:
+    def test_matches_numpy(self):
+        from gpr_tpu.ops.pallas_panel import cholesky_left_panels
+
+        n = 768
+        rng = np.random.default_rng(2)
+        M = rng.standard_normal((n, n)).astype(np.float32)
+        A = M @ M.T + n * np.eye(n, dtype=np.float32)
+        L = np.asarray(cholesky_left_panels(jnp.asarray(A), interpret=True))
+        ref = np.linalg.cholesky(A)
+        assert np.abs(np.tril(L) - ref).max() / np.abs(ref).max() < 1e-5
