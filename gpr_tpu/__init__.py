@@ -11,7 +11,10 @@ solves, pjit/shard_map scale-out) rather than as a port.
 
 from .kernels.kernels import (  # noqa: F401
     Gaussian,
+    GaussianARD,
     GaussianExp,
+    Matern32,
+    Matern52,
     Kernel,
     Periodic,
     Product,

@@ -27,6 +27,9 @@ _BASE = {
     "WhiteKernel": (K.White, 1),
     "PeriodicKernel": (K.Periodic, 3),
     "RationalQuadraticKernel": (K.RationalQuadratic, 3),
+    # extension kernels (not in the reference DSL)
+    "Matern32Kernel": (K.Matern32, 2),
+    "Matern52Kernel": (K.Matern52, 2),
 }
 
 _CONSTANTS = {"M_PI": math.pi, "M_PI_2": math.pi / 2, "M_E": math.e}
@@ -87,6 +90,18 @@ def _parse(cur: _Cursor) -> K.Kernel:
         k2 = _parse(cur)
         cur.consume(")")
         return K.Sum(k1, k2) if name == "SumKernel" else K.Product(k1, k2)
+    if name == "GaussianARDKernel":
+        # extension form: GaussianARDKernel(d, s1, ..., sd, scale,)
+        d = int(cur.read_scalar())
+        cur.maybe(",")
+        vals = []
+        for _ in range(d + 1):
+            vals.append(cur.read_scalar())
+            cur.maybe(",")
+        cur.consume(")")
+        import jax.numpy as jnp
+
+        return K.GaussianARD(jnp.asarray(vals[:d]), vals[d])
     if name not in _BASE:
         raise ValueError(f"KernelFactory::GetKernel: failed to load kernel {name!r}.")
     cls, nparams = _BASE[name]

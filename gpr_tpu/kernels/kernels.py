@@ -543,3 +543,136 @@ def analytic_gram_derivative(kernel: Kernel, X, Y=None) -> jax.Array:
     Y2 = X if Y is None else _as_2d(Y)
     f = lambda x, y: kernel.analytic_derivative(x, y)
     return jnp.moveaxis(jax.vmap(lambda x: jax.vmap(lambda y: f(x, y))(Y2))(X), -1, 0)
+
+
+# ---------------------------------------------------------------------------
+# extension kernels (beyond the reference's surface; production standards)
+# ---------------------------------------------------------------------------
+
+@_register
+@dataclasses.dataclass(frozen=True, eq=False)
+class Matern32(Kernel):
+    """Matern nu=3/2: k = scale^2 (1 + sqrt(3) r / sigma) exp(-sqrt(3) r / sigma).
+
+    Not in the reference (its smoothest-to-roughest range is Gaussian/RQ);
+    added because Matern is the de-facto default for physical signals."""
+
+    sigma: Any
+    scale: Any = 1.0
+
+    def _eval(self, x, y):
+        r = jnp.sqrt(jnp.maximum(jnp.sum((x - y) ** 2), 1e-36))
+        a = math.sqrt(3.0) * r / self.sigma
+        return self.scale**2 * (1.0 + a) * jnp.exp(-a)
+
+    def _gram(self, X, Y, symmetric):
+        r = jnp.sqrt(jnp.maximum(sqdist(X, Y), 1e-36))
+        a = math.sqrt(3.0) * r / self.sigma
+        return self.scale**2 * (1.0 + a) * jnp.exp(-a)
+
+    @property
+    def params(self):
+        return (self.sigma, self.scale)
+
+    def _consume_params(self, vec):
+        return Matern32(vec[0], vec[1]), vec[2:]
+
+    def analytic_derivative(self, x, y):
+        x = jnp.atleast_1d(jnp.asarray(x))
+        y = jnp.atleast_1d(jnp.asarray(y))
+        r = jnp.sqrt(jnp.maximum(jnp.sum((x - y) ** 2), 1e-36))
+        a = math.sqrt(3.0) * r / self.sigma
+        e = jnp.exp(-a)
+        d_sigma = self.scale**2 * e * a * a / self.sigma
+        d_scale = 2 * self.scale * (1.0 + a) * e
+        return jnp.stack([d_sigma, d_scale])
+
+    def to_string(self):
+        return f"Matern32Kernel({_fmt(self.sigma)},{_fmt(self.scale)},)"
+
+
+@_register
+@dataclasses.dataclass(frozen=True, eq=False)
+class Matern52(Kernel):
+    """Matern nu=5/2: k = scale^2 (1 + a + a^2/3) exp(-a), a = sqrt(5) r / sigma."""
+
+    sigma: Any
+    scale: Any = 1.0
+
+    def _eval(self, x, y):
+        r = jnp.sqrt(jnp.maximum(jnp.sum((x - y) ** 2), 1e-36))
+        a = math.sqrt(5.0) * r / self.sigma
+        return self.scale**2 * (1.0 + a + a * a / 3.0) * jnp.exp(-a)
+
+    def _gram(self, X, Y, symmetric):
+        r = jnp.sqrt(jnp.maximum(sqdist(X, Y), 1e-36))
+        a = math.sqrt(5.0) * r / self.sigma
+        return self.scale**2 * (1.0 + a + a * a / 3.0) * jnp.exp(-a)
+
+    @property
+    def params(self):
+        return (self.sigma, self.scale)
+
+    def _consume_params(self, vec):
+        return Matern52(vec[0], vec[1]), vec[2:]
+
+    def analytic_derivative(self, x, y):
+        x = jnp.atleast_1d(jnp.asarray(x))
+        y = jnp.atleast_1d(jnp.asarray(y))
+        r = jnp.sqrt(jnp.maximum(jnp.sum((x - y) ** 2), 1e-36))
+        a = math.sqrt(5.0) * r / self.sigma
+        e = jnp.exp(-a)
+        d_sigma = self.scale**2 * e * (a * a * (1.0 + a)) / (3.0 * self.sigma)
+        d_scale = 2 * self.scale * (1.0 + a + a * a / 3.0) * e
+        return jnp.stack([d_sigma, d_scale])
+
+    def to_string(self):
+        return f"Matern52Kernel({_fmt(self.sigma)},{_fmt(self.scale)},)"
+
+
+@_register
+@dataclasses.dataclass(frozen=True, eq=False)
+class GaussianARD(Kernel):
+    """Anisotropic (ARD) Gaussian: per-dimension lengthscales.
+
+        k = scale^2 exp(-0.5 sum_d (x_d - y_d)^2 / sigmas_d^2)
+
+    Gram path: rescale inputs by 1/sigmas then reuse the GEMM sqdist trick
+    — still one MXU contraction.  ``sigmas`` is a (d,) leaf."""
+
+    sigmas: Any  # (d,)
+    scale: Any = 1.0
+
+    def _eval(self, x, y):
+        s = jnp.asarray(self.sigmas)
+        r2 = jnp.sum(((x - y) / s) ** 2)
+        return self.scale**2 * jnp.exp(-0.5 * r2)
+
+    def _gram(self, X, Y, symmetric):
+        s = jnp.asarray(self.sigmas)
+        d2 = sqdist(X / s[None, :], Y / s[None, :])
+        return self.scale**2 * jnp.exp(-0.5 * d2)
+
+    @property
+    def params(self):
+        s = jnp.asarray(self.sigmas)
+        return tuple(s[i] for i in range(s.shape[0])) + (self.scale,)
+
+    def _consume_params(self, vec):
+        d = jnp.asarray(self.sigmas).shape[0]
+        return GaussianARD(jnp.stack([jnp.asarray(v) for v in vec[:d]]), vec[d]), vec[d + 1 :]
+
+    def analytic_derivative(self, x, y):
+        x = jnp.atleast_1d(jnp.asarray(x))
+        y = jnp.atleast_1d(jnp.asarray(y))
+        s = jnp.asarray(self.sigmas)
+        diff2 = (x - y) ** 2
+        e = jnp.exp(-0.5 * jnp.sum(diff2 / s**2))
+        d_sig = self.scale**2 * e * diff2 / s**3  # (d,)
+        d_scale = 2 * self.scale * e
+        return jnp.concatenate([d_sig, jnp.atleast_1d(d_scale)])
+
+    def to_string(self):
+        s = jnp.asarray(self.sigmas)
+        vals = ",".join(_fmt(float(s[i])) for i in range(s.shape[0]))
+        return f"GaussianARDKernel({s.shape[0]},{vals},{_fmt(self.scale)},)"

@@ -188,3 +188,94 @@ def test_random_kernel_trees_roundtrip_and_psd(rng):
         np.testing.assert_allclose(K, K.T, atol=1e-12)
         evals = np.linalg.eigvalsh(K)
         assert evals.min() > -1e-8, evals.min()
+
+
+from gpr_tpu.kernels import kernels
+
+
+class TestExtensionKernels:
+    """Matern 3/2, 5/2 and ARD Gaussian — production-standard kernels
+    beyond the reference's surface."""
+
+    def test_matern_values(self):
+        import math as m
+
+        k32 = kernels.Matern32(1.5, 0.8)
+        k52 = kernels.Matern52(2.0, 1.0)
+        r = 0.7
+        a32 = m.sqrt(3) * r / 1.5
+        np.testing.assert_allclose(
+            float(k32(jnp.asarray([0.0]), jnp.asarray([r]))),
+            0.8**2 * (1 + a32) * m.exp(-a32), rtol=1e-10,
+        )
+        a52 = m.sqrt(5) * r / 2.0
+        np.testing.assert_allclose(
+            float(k52(jnp.asarray([0.0]), jnp.asarray([r]))),
+            (1 + a52 + a52**2 / 3) * m.exp(-a52), rtol=1e-10,
+        )
+
+    @pytest.mark.parametrize("cls", ["m32", "m52"])
+    def test_matern_gram_and_derivatives(self, cls, rng):
+        k = kernels.Matern32(1.3, 0.9) if cls == "m32" else kernels.Matern52(1.3, 0.9)
+        X = jnp.asarray(rng.standard_normal((15, 2)))
+        K = np.asarray(kernels.gram(k, X))
+        # gram matches pairwise eval
+        for i in (0, 7):
+            for j in (3, 14):
+                np.testing.assert_allclose(
+                    K[i, j], float(k(X[i], X[j])), rtol=1e-8, atol=1e-10
+                )
+        # analytic derivative matches autodiff
+        x, y = X[0], X[5]
+        vec = kernels.params_vector(k)
+        auto = jax.jacfwd(
+            lambda v: k.with_params(list(v))(x, y)
+        )(vec)
+        np.testing.assert_allclose(
+            np.asarray(k.analytic_derivative(x, y)), np.asarray(auto),
+            rtol=1e-6, atol=1e-9,
+        )
+        # PSD
+        evals = np.linalg.eigvalsh(K)
+        assert evals.min() > -1e-9
+
+    def test_ard_reduces_to_isotropic(self, rng):
+        X = jnp.asarray(rng.standard_normal((12, 3)))
+        iso = kernels.Gaussian(1.7, 0.9)
+        ard = kernels.GaussianARD(jnp.full((3,), 1.7), 0.9)
+        np.testing.assert_allclose(
+            np.asarray(kernels.gram(ard, X)), np.asarray(kernels.gram(iso, X)),
+            atol=1e-12,
+        )
+
+    def test_ard_derivative_matches_autodiff(self, rng):
+        k = kernels.GaussianARD(jnp.asarray([1.0, 2.0]), 1.1)
+        x = jnp.asarray(rng.standard_normal(2))
+        y = jnp.asarray(rng.standard_normal(2))
+        vec = kernels.params_vector(k)
+        auto = jax.jacfwd(lambda v: k.with_params(list(v))(x, y))(vec)
+        np.testing.assert_allclose(
+            np.asarray(k.analytic_derivative(x, y)), np.asarray(auto),
+            rtol=1e-8,
+        )
+
+    def test_extension_dsl_roundtrip(self):
+        import gpr_tpu
+
+        for k in (
+            kernels.Matern32(1.5, 0.8),
+            kernels.Matern52(2.0),
+            kernels.GaussianARD(jnp.asarray([1.0, 2.0, 0.5]), 1.2),
+            kernels.Sum(kernels.Matern52(1.0), kernels.White(0.1)),
+        ):
+            assert gpr_tpu.parse_kernel(gpr_tpu.kernel_to_string(k)) == k
+
+    def test_extension_in_gp_fit(self, rng):
+        import gpr_tpu
+
+        X = np.linspace(0, 6, 50)
+        Y = np.sin(X) + 0.05 * rng.standard_normal(50)
+        for k in (gpr_tpu.Matern32(1.0), gpr_tpu.Matern52(1.0)):
+            gp = gpr_tpu.fit(k, X, Y, sigma=0.05)
+            pred = np.asarray(gp.predict(X)).ravel()
+            assert np.sqrt(np.mean((pred - np.sin(X)) ** 2)) < 0.1
