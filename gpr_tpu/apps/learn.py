@@ -36,7 +36,13 @@ def main(argv=None) -> int:
     with open(argv[1]) as f:
         config_learn = json.load(f)
     gpr_prefix, input_folder, output_folder = argv[2:5]
-    ar_folder = argv[5] if config_model["perform_ar"] else ""
+    if config_model["perform_ar"]:
+        if len(argv) < 6:
+            print("Error: perform_ar is set but no ar_folder argument given")
+            return -1
+        ar_folder = argv[5]
+    else:
+        ar_folder = ""
 
     kernel_string = config_model["kernel_string"]
     data_noise = float(config_model["data_noise"])
