@@ -103,4 +103,6 @@ class TestServe:
         server = Server(config_model, prefix, str(tmp_path / "o"), features_only=True)
         server.warmup(us_frame(0.0, noise=False))
         _, _, dt = server.handle_frame(us_frame(1.0, noise=False), 0)
-        assert dt < 0.5  # compiled path: well under half a second on CPU
+        # generous bound: the compiled path takes ~100us-1ms on an idle CPU
+        # but CI machines can be heavily contended
+        assert dt < 5.0
