@@ -365,3 +365,48 @@ def fit_svgp(
         else kernel
     )
     return fit_sparse(k_final, params["Z"], X, Y, sigma, jitter), trace
+
+
+# ---------------------------------------------------------------------------
+# persistence (beyond the reference: its SparseGaussianProcess inherits the
+# dense Save/Load, which does not round-trip inducing state)
+# ---------------------------------------------------------------------------
+
+def save_sparse(sgp: SparseGP, path: str) -> None:
+    """One-file npz artifact: arrays + the kernel serialized in the
+    kernel-string DSL (same serializer as the dense 5-file set)."""
+    import numpy as np
+
+    from ..kernels.dsl import kernel_to_string
+
+    np.savez(
+        path,
+        kernel_string=np.array(kernel_to_string(sgp.kernel)),
+        Z=np.asarray(sgp.Z),
+        X=np.asarray(sgp.X),
+        Y=np.asarray(sgp.Y),
+        sigma=np.asarray(sgp.sigma),
+        jitter=np.asarray(sgp.jitter),
+        alpha=np.asarray(sgp.alpha),
+        R=np.asarray(sgp.R),
+        Lmm=np.asarray(sgp.Lmm),
+    )
+
+
+def load_sparse(path: str) -> SparseGP:
+    import numpy as np
+
+    from ..kernels.dsl import parse_kernel
+
+    z = np.load(path)
+    return SparseGP(
+        kernel=parse_kernel(str(z["kernel_string"])),
+        Z=jnp.asarray(z["Z"]),
+        X=jnp.asarray(z["X"]),
+        Y=jnp.asarray(z["Y"]),
+        sigma=jnp.asarray(z["sigma"]),
+        jitter=jnp.asarray(z["jitter"]),
+        alpha=jnp.asarray(z["alpha"]),
+        R=jnp.asarray(z["R"]),
+        Lmm=jnp.asarray(z["Lmm"]),
+    )

@@ -208,3 +208,24 @@ def test_dense_mle_to_sparse_predict_handoff(rng):
         np.asarray(kermod.params_vector(k_opt)),
         np.asarray(kermod.params_vector(k0)),
     )
+
+
+def test_sparse_save_load_roundtrip(tmp_path, rng):
+    """Sparse persistence (beyond the reference, whose SparseGaussianProcess
+    has no Save/Load of inducing state): bitwise round trip + identical
+    predictions."""
+    X = np.linspace(0, 8, 80)[:, None]
+    Y = np.sin(X[:, 0]) + 0.1 * rng.standard_normal(80)
+    k = gt.Sum(gt.Gaussian(1.5, 1.0), gt.White(0.1))
+    sgp = sp.fit_sparse(k, X[::8], X, Y, sigma=0.1, jitter=1e-8)
+    path = str(tmp_path / "sparse.npz")
+    sp.save_sparse(sgp, path)
+    loaded = sp.load_sparse(path)
+    assert loaded.kernel == sgp.kernel
+    np.testing.assert_array_equal(np.asarray(loaded.alpha), np.asarray(sgp.alpha))
+    p1 = np.asarray(sgp.predict(X[:5]))
+    p2 = np.asarray(loaded.predict(X[:5]))
+    np.testing.assert_array_equal(p1, p2)
+    c1 = float(sgp.credible_interval(X[3]))
+    c2 = float(loaded.credible_interval(X[3]))
+    assert c1 == c2
