@@ -17,9 +17,7 @@ from __future__ import annotations
 import json
 import os
 import sys
-from typing import Dict, List, Sequence
-
-import numpy as np
+from typing import Dict, Sequence
 
 
 def run_drift(

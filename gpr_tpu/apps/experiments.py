@@ -23,8 +23,6 @@ import subprocess
 import sys
 from typing import List
 
-import numpy as np
-
 
 def _load_yaml(path: str) -> dict:
     import yaml

@@ -23,7 +23,7 @@ from __future__ import annotations
 import csv
 import os
 import shutil
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -14,7 +14,7 @@ scales_of_shape_B)``) — everything is ``vmap`` under one ``jit``.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

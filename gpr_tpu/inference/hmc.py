@@ -25,8 +25,6 @@ structural; the Jacobian term sum(z) is included in the log posterior.
 from __future__ import annotations
 
 import dataclasses
-import math
-from functools import partial
 from typing import Callable, NamedTuple, Optional, Sequence
 
 import jax
@@ -34,7 +32,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..gp import likelihood as lk
-from ..kernels import kernels as kermod
 
 
 # ---------------------------------------------------------------------------

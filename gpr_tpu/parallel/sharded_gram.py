@@ -29,10 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..kernels import kernels as kermod
-from ..ops import linalg
 from ..ops.blocked import cholesky_blocked, solve_triangular_blocked
 
 

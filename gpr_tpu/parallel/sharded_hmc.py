@@ -18,7 +18,6 @@ on real hardware the same code spans a v5p slice unchanged.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

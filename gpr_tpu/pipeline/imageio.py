@@ -23,7 +23,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import zlib
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -21,7 +21,7 @@ instead of the reference's BDCSVD of the full d x N matrix (PCA.h:41).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

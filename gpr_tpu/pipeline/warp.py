@@ -12,7 +12,6 @@ and the diff-image evaluation used by the reference pipeline
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
