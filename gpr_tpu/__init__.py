@@ -10,12 +10,14 @@ solves, pjit/shard_map scale-out) rather than as a port.
 """
 
 from .kernels.kernels import (  # noqa: F401
+    Constant,
     Gaussian,
     GaussianARD,
     GaussianExp,
     Matern32,
     Matern52,
     Kernel,
+    Linear,
     Periodic,
     Product,
     RationalQuadratic,

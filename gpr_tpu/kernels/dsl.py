@@ -30,6 +30,8 @@ _BASE = {
     # extension kernels (not in the reference DSL)
     "Matern32Kernel": (K.Matern32, 2),
     "Matern52Kernel": (K.Matern52, 2),
+    "LinearKernel": (K.Linear, 2),
+    "ConstantKernel": (K.Constant, 1),
 }
 
 _CONSTANTS = {"M_PI": math.pi, "M_PI_2": math.pi / 2, "M_E": math.e}

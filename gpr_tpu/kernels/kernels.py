@@ -676,3 +676,69 @@ class GaussianARD(Kernel):
         s = jnp.asarray(self.sigmas)
         vals = ",".join(_fmt(float(s[i])) for i in range(s.shape[0]))
         return f"GaussianARDKernel({s.shape[0]},{vals},{_fmt(self.scale)},)"
+
+
+@_register
+@dataclasses.dataclass(frozen=True, eq=False)
+class Linear(Kernel):
+    """Dot-product kernel k = scale^2 (x . y + offset) — Bayesian linear
+    regression as a GP; the natural trend component for drifting signals
+    (the reference models trends with wide Gaussians instead)."""
+
+    scale: Any
+    offset: Any = 0.0
+
+    def _eval(self, x, y):
+        return self.scale**2 * (jnp.sum(x * y) + self.offset)
+
+    def _gram(self, X, Y, symmetric):
+        from ..utils.config import matmul_precision
+
+        xy = jax.lax.dot_general(
+            X, Y, (((1,), (1,)), ((), ())), preferred_element_type=X.dtype,
+            precision=matmul_precision(),
+        )
+        return self.scale**2 * (xy + self.offset)
+
+    @property
+    def params(self):
+        return (self.scale, self.offset)
+
+    def _consume_params(self, vec):
+        return Linear(vec[0], vec[1]), vec[2:]
+
+    def analytic_derivative(self, x, y):
+        x = jnp.atleast_1d(jnp.asarray(x))
+        y = jnp.atleast_1d(jnp.asarray(y))
+        base = jnp.sum(x * y) + self.offset
+        return jnp.stack([2 * self.scale * base, self.scale**2 + 0.0 * base])
+
+    def to_string(self):
+        return f"LinearKernel({_fmt(self.scale)},{_fmt(self.offset)},)"
+
+
+@_register
+@dataclasses.dataclass(frozen=True, eq=False)
+class Constant(Kernel):
+    """k = value everywhere — the mean-offset component for compositions."""
+
+    value: Any
+
+    def _eval(self, x, y):
+        return jnp.asarray(self.value) + 0.0 * jnp.sum(x * y)
+
+    def _gram(self, X, Y, symmetric):
+        return jnp.full((X.shape[0], Y.shape[0]), self.value, X.dtype)
+
+    @property
+    def params(self):
+        return (self.value,)
+
+    def _consume_params(self, vec):
+        return Constant(vec[0]), vec[1:]
+
+    def analytic_derivative(self, x, y):
+        return jnp.ones((1,))
+
+    def to_string(self):
+        return f"ConstantKernel({_fmt(self.value)},)"

@@ -279,3 +279,49 @@ class TestExtensionKernels:
             gp = gpr_tpu.fit(k, X, Y, sigma=0.05)
             pred = np.asarray(gp.predict(X)).ravel()
             assert np.sqrt(np.mean((pred - np.sin(X)) ** 2)) < 0.1
+
+
+class TestLinearConstantKernels:
+    def test_linear_is_bayesian_linear_regression(self, rng):
+        """A Linear-kernel GP posterior mean on linear data recovers the
+        line (degenerate GP = Bayesian linear regression)."""
+        import gpr_tpu
+
+        X = np.linspace(-2, 2, 30)
+        Y = 1.7 * X + 0.01 * rng.standard_normal(30)
+        gp = gpr_tpu.fit(gpr_tpu.Linear(1.0, 1.0), X, Y, sigma=0.01)
+        pred = np.asarray(gp.predict(np.asarray([3.0, -3.0]))).ravel()
+        np.testing.assert_allclose(pred, [1.7 * 3, -1.7 * 3], atol=0.05)
+
+    def test_trend_plus_periodic_composition(self, rng):
+        """Linear + Gaussian composition fits trend + oscillation — the
+        x + 10 sin x signal of the reference's HighlyGeneralKernelTest."""
+        import gpr_tpu
+
+        X = np.linspace(0, 10, 80)
+        Y = X + 10 * np.sin(X) + 0.05 * rng.standard_normal(80)
+        k = gpr_tpu.Sum(gpr_tpu.Linear(1.0, 1.0), gpr_tpu.Gaussian(1.0, 3.0))
+        gp = gpr_tpu.fit(k, X, Y, sigma=0.05)
+        pred = np.asarray(gp.predict(X)).ravel()
+        assert np.mean(np.abs(pred - (X + 10 * np.sin(X)))) < 0.1
+
+    def test_dsl_roundtrip(self):
+        import gpr_tpu
+
+        for k in (
+            kernels.Linear(1.5, 0.3),
+            kernels.Constant(2.5),
+            kernels.Sum(kernels.Linear(1.0, 0.0), kernels.Constant(0.5)),
+        ):
+            assert gpr_tpu.parse_kernel(gpr_tpu.kernel_to_string(k)) == k
+
+    def test_derivatives_match_autodiff(self, rng):
+        x = jnp.asarray(rng.standard_normal(2))
+        y = jnp.asarray(rng.standard_normal(2))
+        for k in (kernels.Linear(1.2, 0.4), kernels.Constant(1.7)):
+            vec = kernels.params_vector(k)
+            auto = jax.jacfwd(lambda v: k.with_params(list(v))(x, y))(vec)
+            np.testing.assert_allclose(
+                np.asarray(k.analytic_derivative(x, y)), np.asarray(auto),
+                rtol=1e-8, atol=1e-12,
+            )
