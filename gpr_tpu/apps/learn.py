@@ -76,9 +76,32 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         X = np.stack([p[0] for p in pairs])
         Y = np.stack([p[1] for p in pairs])
-        gp = gpr_tpu.fit(kernel, X, Y, sigma=data_noise)
         import jax
 
+        # optional sparse mode (config extension beyond the reference):
+        # "sparse_inducing": m  trains an inducing-point GP for large n
+        m_inducing = int(config_model.get("sparse_inducing", 0))
+        if m_inducing > 0 and m_inducing < X.shape[0]:
+            from ..gp import sparse as sparse_mod
+
+            idx = np.linspace(0, X.shape[0] - 1, m_inducing).astype(int)
+            sgp = sparse_mod.fit_sparse(
+                kernel, X[idx], X, Y, sigma=data_noise, jitter=1e-8
+            )
+            jax.block_until_ready(sgp.alpha)
+            dt = time.perf_counter() - t0
+            print(f"Perform training (sparse, m={m_inducing})... {dt:.3f}s [done]")
+            write_to_log_file(
+                log,
+                f"Perform training (sparse)...  elapsed time: {dt} "
+                "[successfully completed]",
+            )
+            t0 = time.perf_counter()
+            sparse_mod.save_sparse(sgp, gpr_prefix + "-sparse.npz")
+            print(f"Saving sparse GP... {time.perf_counter()-t0:.3f}s [done]")
+            return 0
+
+        gp = gpr_tpu.fit(kernel, X, Y, sigma=data_noise)
         jax.block_until_ready(gp.alpha)
         dt = time.perf_counter() - t0
         print(f"Perform training... {dt:.3f}s [done]")

@@ -84,8 +84,20 @@ def main(argv=None) -> int:
         from ..pipeline.dataparser import DataParser
 
         t0 = time.perf_counter()
-        gp = gpr_tpu.load(gpr_prefix)
-        print(f"Initialize Gaussian process... {time.perf_counter()-t0:.3f}s [done]")
+        sparse_path = gpr_prefix + "-sparse.npz"
+        if os.path.exists(sparse_path):
+            from ..gp import sparse as sparse_mod
+
+            gp = sparse_mod.load_sparse(sparse_path)
+            print(
+                f"Initialize sparse Gaussian process... "
+                f"{time.perf_counter()-t0:.3f}s [done]"
+            )
+        else:
+            gp = gpr_tpu.load(gpr_prefix)
+            print(
+                f"Initialize Gaussian process... {time.perf_counter()-t0:.3f}s [done]"
+            )
 
         t0 = time.perf_counter()
         parser = DataParser.for_prediction(

@@ -245,3 +245,46 @@ class TestEndToEnd:
         for (x1, y1), (x2, y2) in zip(pairs, pairs2):
             np.testing.assert_allclose(x1, x2, atol=2e-6)  # csv: 6 decimals
             np.testing.assert_allclose(y1, y2, atol=2e-6)
+
+
+def test_sparse_mode_cli(synthetic_dataset):
+    """config_model['sparse_inducing'] trains an inducing-point GP (config
+    extension beyond the reference); predict transparently loads it."""
+    from gpr_tpu.apps import learn, predict
+
+    tmp_path, paths = synthetic_dataset
+    us_train, dvf_train = paths["train"]
+    us_test, dvf_test = paths["test"]
+    prefix = str(tmp_path / "gprs")
+    result_dir = tmp_path / "results_sparse"
+    result_dir.mkdir()
+
+    cm = dict(CONFIG_MODEL, sparse_inducing=12)
+    cmp_ = str(tmp_path / "cm_sparse.json")
+    cl = str(tmp_path / "cl_sparse.json")
+    cp = str(tmp_path / "cp_sparse.json")
+    json.dump(cm, open(cmp_, "w"))
+    json.dump(CONFIG_LEARN, open(cl, "w"))
+    json.dump(CONFIG_PREDICT, open(cp, "w"))
+
+    assert learn.main([cmp_, cl, prefix, us_train, dvf_train]) == 0
+    assert os.path.exists(prefix + "-sparse.npz")
+
+    ref_file = sorted(os.listdir(dvf_train))[0]
+    assert predict.main(
+        [cmp_, cp, prefix, us_test, dvf_test, str(result_dir),
+         os.path.join(dvf_train, ref_file)]
+    ) == 0
+    import numpy as np
+    from gpr_tpu.pipeline import imageio as iio
+
+    errs = []
+    for i, ph in enumerate(paths["phases_test"]):
+        img = iio.read_image(str(result_dir / f"dfPred{i:05d}.vtk"))
+        gt = np.stack(
+            [np.full((4, 5, 6), np.sin(ph)),
+             np.full((4, 5, 6), 0.5 * np.cos(ph)),
+             np.full((4, 5, 6), 0.25 * np.sin(2 * ph))], axis=-1,
+        )
+        errs.append(np.abs(img.data - gt).mean())
+    assert float(np.mean(errs)) < 0.15, errs  # 12 inducing pts over 40 frames
