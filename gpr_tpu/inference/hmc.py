@@ -95,6 +95,11 @@ class HMCConfig:
     initial_step_size: float = 0.1
     max_step_size: float = 10.0
     jitter_steps: bool = True  # randomize leapfrog count in [1, L]
+    # Stan-style expanding-window warmup: stepsize-only head, doubling
+    # mass-estimation windows (each refreshes the metric AND restarts
+    # dual averaging), stepsize-only tail.  Opt-in; the default two-stage
+    # scheme is faster for easy posteriors.
+    windowed_warmup: bool = False
 
 
 class ChainState(NamedTuple):
@@ -196,6 +201,25 @@ def _warmup_scan(logp_grad_fn, states, key, eps0, inv_mass, cfg, n_steps,
     return states, jnp.exp(log_eps_bar), zs, accepts
 
 
+def _window_schedule(num_warmup: int):
+    """(head, [window sizes], tail) — 15% stepsize head, doubling mass
+    windows over the middle 75%, 10% stepsize tail (Stan's layout)."""
+    head = max(int(0.15 * num_warmup), 1)
+    tail = max(int(0.10 * num_warmup), 1)
+    mid = max(num_warmup - head - tail, 1)
+    w = max(mid // 7, 1)  # ~25/50/100 pattern at num_warmup=500
+    wins = []
+    rem = mid
+    while rem > 0:
+        take = min(w, rem)
+        if rem - take < max(mid // 7, 1):
+            take = rem
+        wins.append(take)
+        rem -= take
+        w *= 2
+    return head, wins, tail
+
+
 def init_chains(logp_fn, z0: jax.Array) -> ChainState:
     """z0: (chains, dim) initial positions."""
     logp_grad = jax.vmap(jax.value_and_grad(logp_fn))
@@ -222,32 +246,53 @@ def sample_hmc(
     k1, k2, k3, k4 = jax.random.split(key, 4)
 
     inv_mass = jnp.ones((dim,), z0.dtype)
-    n_w1 = max(cfg.num_warmup // 2, 1)
-    n_w2 = max(cfg.num_warmup - n_w1, 1)
 
-    # warmup stage 1: adapt step size under unit mass
-    states, eps1, zs1, _ = _warmup_scan(
-        logp_grad_fn, states, k1, jnp.asarray(cfg.initial_step_size, z0.dtype),
-        inv_mass, cfg, n_w1, cfg.target_accept, cross_chain_mean
-    )
+    def _estimate_mass(zs):
+        flat = zs.reshape(-1, dim)
+        mean = jnp.mean(flat, axis=0)
+        var = jnp.mean((flat - mean) ** 2, axis=0)
+        if cross_chain_moments is not None:
+            mean, var = cross_chain_moments(mean, var)
+        w = flat.shape[0]
+        # regularized like Stan: shrink toward unit
+        return (w / (w + 5.0)) * var + (5.0 / (w + 5.0)) * 1e-3
 
-    # mass estimation from the second half of stage-1 draws (all chains)
-    tail = zs1[n_w1 // 2 :]  # (t, chains, dim)
-    flat = tail.reshape(-1, dim)
-    mean = jnp.mean(flat, axis=0)
-    var = jnp.mean((flat - mean) ** 2, axis=0)
-    if cross_chain_moments is not None:
-        mean, var = cross_chain_moments(mean, var)
-    # regularized like Stan: shrink toward unit
-    w = flat.shape[0]
-    var = (w / (w + 5.0)) * var + (5.0 / (w + 5.0)) * 1e-3
-    inv_mass = var  # inverse mass = posterior variance estimate
+    if cfg.windowed_warmup:
+        head, wins, tail_n = _window_schedule(cfg.num_warmup)
+        keys_w = jax.random.split(k1, len(wins) + 2)
+        states, eps, _, _ = _warmup_scan(
+            logp_grad_fn, states, keys_w[0],
+            jnp.asarray(cfg.initial_step_size, z0.dtype), inv_mass, cfg,
+            head, cfg.target_accept, cross_chain_mean,
+        )
+        for i, win in enumerate(wins):
+            states, eps, zs_w, _ = _warmup_scan(
+                logp_grad_fn, states, keys_w[i + 1], eps, inv_mass, cfg,
+                win, cfg.target_accept, cross_chain_mean,
+            )
+            inv_mass = _estimate_mass(zs_w)
+        states, eps2, _, _ = _warmup_scan(
+            logp_grad_fn, states, keys_w[-1], eps, inv_mass, cfg,
+            tail_n, cfg.target_accept, cross_chain_mean,
+        )
+    else:
+        n_w1 = max(cfg.num_warmup // 2, 1)
+        n_w2 = max(cfg.num_warmup - n_w1, 1)
 
-    # warmup stage 2: re-adapt step size under the new metric
-    states, eps2, _, _ = _warmup_scan(
-        logp_grad_fn, states, k2, eps1, inv_mass, cfg, n_w2,
-        cfg.target_accept, cross_chain_mean
-    )
+        # warmup stage 1: adapt step size under unit mass
+        states, eps1, zs1, _ = _warmup_scan(
+            logp_grad_fn, states, k1, jnp.asarray(cfg.initial_step_size, z0.dtype),
+            inv_mass, cfg, n_w1, cfg.target_accept, cross_chain_mean
+        )
+
+        # mass estimation from the second half of stage-1 draws (all chains)
+        inv_mass = _estimate_mass(zs1[n_w1 // 2 :])
+
+        # warmup stage 2: re-adapt step size under the new metric
+        states, eps2, _, _ = _warmup_scan(
+            logp_grad_fn, states, k2, eps1, inv_mass, cfg, n_w2,
+            cfg.target_accept, cross_chain_mean
+        )
 
     # sampling
     def sample_step(states, key_t):

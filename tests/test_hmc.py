@@ -148,3 +148,38 @@ class TestProfiling:
         path = str(tmp_path / "times.txt")
         t.write(path)
         assert open(path).read().count(",") == 2
+
+
+class TestWindowedWarmup:
+    def test_metric_recovery_on_hard_target(self):
+        """Expanding-window adaptation recovers a 160000:1 scale ratio that
+        the two-stage scheme underestimates by ~40x."""
+        scales = jnp.asarray([0.05, 20.0])
+        logp = lambda z: -0.5 * jnp.sum((z / scales) ** 2)
+        res = hm.sample_hmc(
+            logp, np.zeros((2, 2)), jax.random.PRNGKey(0),
+            hm.HMCConfig(num_warmup=400, num_samples=300, windowed_warmup=True),
+        )
+        im = np.asarray(res.inv_mass)
+        true_ratio = float((scales[1] / scales[0]) ** 2)
+        assert im[1] / im[0] > true_ratio / 4, im
+        s = np.asarray(res.samples).reshape(-1, 2)
+        np.testing.assert_allclose(s.std(0), np.asarray(scales), rtol=0.3)
+
+    def test_window_schedule(self):
+        head, wins, tail = hm._window_schedule(500)
+        assert head == 75 and tail == 50
+        assert sum(wins) == 500 - 75 - 50
+        assert all(w > 0 for w in wins)
+        # doubling-ish growth
+        assert wins[-1] >= wins[0]
+
+    def test_default_path_unchanged(self):
+        """windowed_warmup=False keeps the original two-stage behavior."""
+        logp = lambda z: -0.5 * jnp.sum(z * z)
+        r1 = hm.sample_hmc(
+            logp, np.zeros((2, 2)), jax.random.PRNGKey(3),
+            hm.HMCConfig(num_warmup=100, num_samples=100),
+        )
+        s = np.asarray(r1.samples).reshape(-1, 2)
+        np.testing.assert_allclose(s.std(0), [1, 1], atol=0.3)
