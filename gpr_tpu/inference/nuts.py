@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .hmc import ChainState, init_chains
+from .hmc import ChainState, _window_schedule, init_chains
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,6 +44,7 @@ class NUTSConfig:
     initial_step_size: float = 0.1
     max_step_size: float = 10.0
     divergence_threshold: float = 1000.0
+    windowed_warmup: bool = False  # Stan-style expanding windows (see hmc)
 
 
 class _TrajState(NamedTuple):
@@ -310,19 +311,35 @@ def sample_nuts(
         return states, jnp.exp(log_eps_bar), zs
 
     inv_mass = jnp.ones((dim,), z0.dtype)
-    n_w1 = max(cfg.num_warmup // 2, 1)
-    n_w2 = max(cfg.num_warmup - n_w1, 1)
-    states, eps1, zs1 = warmup(
-        states, k1, jnp.asarray(cfg.initial_step_size, z0.dtype), inv_mass, n_w1
-    )
-    tail = zs1[n_w1 // 2 :].reshape(-1, dim)
-    mean = jnp.mean(tail, axis=0)
-    var = jnp.mean((tail - mean) ** 2, axis=0)
-    if cross_chain_moments is not None:
-        mean, var = cross_chain_moments(mean, var)
-    w = tail.shape[0]
-    inv_mass = (w / (w + 5.0)) * var + (5.0 / (w + 5.0)) * 1e-3
-    states, eps2, _ = warmup(states, k2, eps1, inv_mass, n_w2)
+
+    def estimate_mass(zs):
+        flat = zs.reshape(-1, dim)
+        mean = jnp.mean(flat, axis=0)
+        var = jnp.mean((flat - mean) ** 2, axis=0)
+        if cross_chain_moments is not None:
+            mean, var = cross_chain_moments(mean, var)
+        w = flat.shape[0]
+        return (w / (w + 5.0)) * var + (5.0 / (w + 5.0)) * 1e-3
+
+    if cfg.windowed_warmup:
+        head, wins, tail_n = _window_schedule(cfg.num_warmup)
+        keys_w = jax.random.split(k1, len(wins) + 2)
+        states, eps, _ = warmup(
+            states, keys_w[0], jnp.asarray(cfg.initial_step_size, z0.dtype),
+            inv_mass, head,
+        )
+        for i, win in enumerate(wins):
+            states, eps, zs_w = warmup(states, keys_w[i + 1], eps, inv_mass, win)
+            inv_mass = estimate_mass(zs_w)
+        states, eps2, _ = warmup(states, keys_w[-1], eps, inv_mass, tail_n)
+    else:
+        n_w1 = max(cfg.num_warmup // 2, 1)
+        n_w2 = max(cfg.num_warmup - n_w1, 1)
+        states, eps1, zs1 = warmup(
+            states, k1, jnp.asarray(cfg.initial_step_size, z0.dtype), inv_mass, n_w1
+        )
+        inv_mass = estimate_mass(zs1[n_w1 // 2 :])
+        states, eps2, _ = warmup(states, k2, eps1, inv_mass, n_w2)
 
     def sample_step(states, key_t):
         keys = jax.random.split(key_t, n_chains)

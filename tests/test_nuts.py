@@ -120,3 +120,18 @@ class TestNUTSNonGaussian:
         ess = np.asarray(effective_sample_size(res.samples))
         total = 4 * 300
         assert np.all(ess > 0.25 * total), ess
+
+
+def test_nuts_windowed_warmup_metric():
+    """NUTS with expanding-window warmup recovers the hard-target metric."""
+    scales = jnp.asarray([0.05, 20.0])
+    logp = lambda z: -0.5 * jnp.sum((z / scales) ** 2)
+    res = sample_nuts(
+        logp, np.zeros((2, 2)), jax.random.PRNGKey(0),
+        NUTSConfig(num_warmup=300, num_samples=200, max_depth=7,
+                   windowed_warmup=True),
+    )
+    im = np.asarray(res.inv_mass)
+    assert im[1] / im[0] > (400**2) / 4
+    s = np.asarray(res.samples).reshape(-1, 2)
+    np.testing.assert_allclose(s.std(0), np.asarray(scales), rtol=0.3)
