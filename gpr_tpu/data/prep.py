@@ -222,3 +222,17 @@ def load_dicom_series(path: str):
             "series to MHA/VTK with an external tool first."
         ) from e
     raise NotImplementedError  # pragma: no cover
+
+
+def read_us_video(path: str, dest_dir: str):
+    """US video frame extraction (reference scripts/read_us_video.py) —
+    requires OpenCV, which this image does not ship.  Convert the video to
+    per-frame PNGs externally, or install cv2."""
+    try:
+        import cv2  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "read_us_video needs OpenCV (cv2); extract frames with ffmpeg "
+            "(`ffmpeg -i video.avi us_%05d.png`) as an alternative."
+        ) from e
+    raise NotImplementedError  # pragma: no cover
