@@ -289,3 +289,32 @@ class TestLeftLookingPanels:
         L = np.asarray(cholesky_left_panels(jnp.asarray(A), interpret=True))
         ref = np.linalg.cholesky(A)
         assert np.abs(np.tril(L) - ref).max() / np.abs(ref).max() < 1e-5
+
+
+class TestPinvAndPolicy:
+    def test_pinv_matches_reference_semantics(self):
+        """gpr::pinv (Prior.h:38-56): singular values <= epsilon are zeroed,
+        not inverted."""
+        rng = np.random.default_rng(20)
+        A = rng.standard_normal((6, 4))
+        P = np.asarray(linalg.pinv(jnp.asarray(A)))
+        np.testing.assert_allclose(P, np.linalg.pinv(A), atol=1e-10)
+        # rank-deficient: A pinv A == projection, finite everywhere
+        B = np.outer(rng.standard_normal(5), rng.standard_normal(3))
+        Pb = np.asarray(linalg.pinv(jnp.asarray(B)))
+        assert np.all(np.isfinite(Pb))
+        np.testing.assert_allclose(B @ Pb @ B, B, atol=1e-10)
+
+    def test_policy_scope_restores(self):
+        from gpr_tpu.utils import config as cfg
+
+        before = cfg.policy().name
+        with cfg.policy_scope("parity") as p:
+            assert p.name == "parity"
+        assert cfg.policy().name == before
+
+    def test_device_memory_stats_shape(self):
+        from gpr_tpu.utils.profiling import device_memory_stats
+
+        stats = device_memory_stats()  # may be empty on CPU backends
+        assert isinstance(stats, dict)
