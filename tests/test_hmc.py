@@ -183,3 +183,23 @@ class TestWindowedWarmup:
         )
         s = np.asarray(r1.samples).reshape(-1, 2)
         np.testing.assert_allclose(s.std(0), [1, 1], atol=0.3)
+
+
+def test_sparse_gp_log_posterior_sampling():
+    """HMC over SPARSE-GP hyperparameters (Woodbury likelihood in the
+    leapfrog gradient) recovers a sensible lengthscale."""
+    rng = np.random.default_rng(0)
+    X = np.linspace(0, 10, 120)[:, None]
+    Y = np.sin(X[:, 0]) + 0.1 * rng.standard_normal(120)
+    Z = X[::12]
+    kernel = gt.Gaussian(1.0, 1.0)
+    logp = hm.make_sparse_gp_log_posterior(kernel, Z, X, Y, sigma=0.1, jitter=1e-8)
+    res = hm.sample_hmc(
+        logp, np.zeros((2, 2)), jax.random.PRNGKey(11),
+        hm.HMCConfig(num_warmup=150, num_samples=150, num_leapfrog=8),
+    )
+    theta = np.exp(np.asarray(res.samples).reshape(-1, 2))
+    # posterior lengthscale concentrated in a plausible band for sin(x)
+    med = np.median(theta[:, 0])
+    assert 0.5 < med < 4.0, med
+    assert np.all(np.isfinite(theta))
