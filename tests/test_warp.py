@@ -105,3 +105,36 @@ class TestDiffAndMagnitude:
         validate.dvf_error(str(gt_dir), str(pr_dir), diff_dir=str(diff_dir))
         d0 = imageio.read_image(str(diff_dir / "diff_000.mha"))
         np.testing.assert_allclose(d0.data, -0.5 * np.ones((2, 3, 4, 3)), atol=1e-12)
+
+
+def test_dvf_error_with_voi_mask(tmp_path):
+    """Masked validation (reference validation_dvf.py --mask: only voxels
+    inside the VOI contribute to the statistics)."""
+    from gpr_tpu.apps import validate
+
+    gt_dir = tmp_path / "gt"
+    pr_dir = tmp_path / "pr"
+    gt_dir.mkdir(), pr_dir.mkdir()
+    shape = (3, 4, 5)
+    gt = np.zeros(shape + (3,))
+    pred = gt.copy()
+    # error 1.0 outside the mask, 0.25 inside
+    pred[..., 0] += 1.0
+    pred[1:3, 1:3, 1:3, 0] = gt[1:3, 1:3, 1:3, 0] + 0.25
+    mask = np.zeros(shape)
+    mask[1:3, 1:3, 1:3] = 1.0
+    imageio.write_image(
+        imageio.Image(gt, (1, 1, 1), (0, 0, 0), ncomponents=3),
+        str(gt_dir / "g0.vtk"),
+    )
+    imageio.write_image(
+        imageio.Image(pred, (1, 1, 1), (0, 0, 0), ncomponents=3),
+        str(pr_dir / "p0.vtk"),
+    )
+    mask_path = str(tmp_path / "mask.mha")
+    imageio.write_image(imageio.Image(mask, (1, 1, 1), (0, 0, 0)), mask_path)
+
+    unmasked = validate.dvf_error(str(gt_dir), str(pr_dir))
+    masked = validate.dvf_error(str(gt_dir), str(pr_dir), mask_path=mask_path)
+    assert abs(masked["percentiles"][99] - 0.25) < 1e-9
+    assert unmasked["percentiles"][99] > 0.9
