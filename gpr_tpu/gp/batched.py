@@ -126,3 +126,51 @@ def mll_batched(kernel, X, Y, sigma, batched_kernel: bool = False) -> jax.Array:
         return df + cp - n / 2.0 * math.log(2 * math.pi) * y.shape[1]
 
     return jax.vmap(one, in_axes=(k_axes, 0, 0, 0))(kernel, X, Y, sigma)
+
+
+def fit_batched_sharded(
+    kernel,
+    X,
+    Y,
+    sigma,
+    mesh=None,
+    axis: str = "fleet",
+    jitter: float = 0.0,
+    batched_kernel: bool = False,
+) -> BatchedGP:
+    """Fleet training with the BATCH axis sharded over a device mesh — the
+    expert-parallel analogue for many independent GPs (each chip trains its
+    shard of models; no collectives needed until results are read)."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), (axis,))
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y)
+    if Y.ndim == 2:
+        Y = Y[..., None]
+    B = X.shape[0]
+    n_dev = mesh.devices.size
+    if B % n_dev != 0:
+        raise ValueError(f"fleet size ({B}) must be divisible by mesh ({n_dev})")
+    sigma = jnp.broadcast_to(jnp.asarray(sigma, X.dtype), (B,))
+
+    sharding = NamedSharding(mesh, P(axis))
+    X = jax.device_put(X, NamedSharding(mesh, P(axis, None, None)))
+    Y = jax.device_put(Y, NamedSharding(mesh, P(axis, None, None)))
+    sigma = jax.device_put(sigma, sharding)
+    if batched_kernel:
+        kernel = jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(jnp.asarray(leaf), sharding), kernel
+        )
+
+    # the vmapped fit is embarrassingly parallel over the sharded batch
+    # axis; jit + sharded inputs let GSPMD place each model's Gram/Cholesky
+    # on its owner device with zero communication
+    fit = jax.jit(
+        lambda k, x, y, s: fit_batched(
+            k, x, y, s, jitter=jitter, batched_kernel=batched_kernel
+        )
+    )
+    return fit(kernel, X, Y, sigma)

@@ -76,3 +76,30 @@ class TestBatchedFit:
         # the best lengthscale is interior, not an endpoint
         best = int(np.argmax(np.asarray(mlls)))
         assert 0 < best < B - 1
+
+
+def test_fleet_sharded_over_mesh():
+    """The fleet's batch axis sharded over 8 devices (EP analogue):
+    results match the single-device fleet, outputs stay sharded."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    X, Y = _fleet(B=16, n=24)
+    k = gpr_tpu.Gaussian(1.2, 0.9)
+    fleet = batched.fit_batched_sharded(k, X, Y, sigma=0.1)
+    ref = batched.fit_batched(k, X, Y, sigma=0.1)
+    np.testing.assert_allclose(
+        np.asarray(fleet.alpha), np.asarray(ref.alpha), atol=1e-10
+    )
+    assert "fleet" in str(fleet.alpha.sharding)
+
+
+def test_fleet_sharded_indivisible_rejected():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    X, Y = _fleet(B=6, n=10)
+    with pytest.raises(ValueError):
+        batched.fit_batched_sharded(gpr_tpu.Gaussian(1.0), X, Y, sigma=0.1)
