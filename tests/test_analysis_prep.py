@@ -134,3 +134,21 @@ class TestPrep:
     def test_dicom_gated(self):
         with pytest.raises((ImportError, NotImplementedError)):
             prep.load_dicom_series("/nonexistent")
+
+
+class TestCliReturnCodes:
+    def test_analysis_modes_cli(self, tmp_path):
+        gpr = tmp_path / "gpr"
+        gpr.mkdir()
+        np.savetxt(gpr / "gpr-inputCompactness.csv", [0.4, 0.8, 1.0])
+        np.savetxt(gpr / "gpr-outputCompactness.csv", [0.6, 1.0])
+        assert analysis.main(["modes", str(gpr), "--thresh", "0.5"]) == 0
+
+    def test_analysis_unknown_command(self):
+        assert analysis.main(["bogus"]) == -1
+
+    def test_validate_unknown_mode(self):
+        from gpr_tpu.apps import validate
+
+        assert validate.main(["bogus"]) == -1
+        assert validate.main([]) == -1
