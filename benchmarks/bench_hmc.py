@@ -18,7 +18,6 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     import gpr_tpu
     from gpr_tpu.inference import hmc as hmc_mod
@@ -61,22 +60,21 @@ def main():
     inv_mass = jnp.ones((2,), jnp.float32)
 
     def make(segments):
-        # single flat scan of segments*T steps (nested scans compile
-        # pathologically slowly over the remote-compile path)
+        # PYTHON-UNROLLED transitions: lax.scan over sampler steps compiles
+        # pathologically through the remote axon compiler (>>10 min), while
+        # the identical unrolled program compiles in tens of seconds
+        # (BENCHMARKS.md).  T is kept small accordingly.
         @jax.jit
         def run(states, key):
-            keys = jax.random.split(key, segments * T)
-
-            def step(states, k):
-                ks = jax.random.split(k, chains)
-                new, acc = jax.vmap(
+            k = key
+            for _ in range(segments * T):
+                k, sub = jax.random.split(k)
+                ks = jax.random.split(sub, chains)
+                states, _ = jax.vmap(
                     lambda s, kk: hmc_mod._hmc_transition(
                         logp_grad, s, kk, eps, inv_mass, cfg
                     )
                 )(states, ks)
-                return new, acc
-
-            states, _ = lax.scan(step, states, keys)
             return jnp.sum(states.z)
 
         return run
