@@ -49,12 +49,12 @@ class StageTimer:
 
 
 @contextlib.contextmanager
-def trace(log_dir: str, host_tracer_level: int = 2):
+def trace(log_dir: str):
     """jax.profiler trace scope: inspect with TensorBoard's profile plugin
     (XLA op timeline, per-op FLOPs, MXU utilization)."""
     import jax
 
-    jax.profiler.start_trace(log_dir, host_tracer_level=host_tracer_level)
+    jax.profiler.start_trace(log_dir)
     try:
         yield
     finally:

@@ -203,3 +203,19 @@ def test_sparse_gp_log_posterior_sampling():
     med = np.median(theta[:, 0])
     assert 0.5 < med < 4.0, med
     assert np.all(np.isfinite(theta))
+
+
+def test_profiler_trace_writes(tmp_path):
+    """jax.profiler trace scope produces a TensorBoard-loadable directory
+    (SURVEY.md §5.1 rebuild contract)."""
+    from gpr_tpu.utils.profiling import trace
+
+    d = str(tmp_path / "trace")
+    with trace(d):
+        jnp.sum(jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+    import os
+
+    found = []
+    for root, _, files in os.walk(d):
+        found.extend(files)
+    assert found, "no trace files written"
