@@ -288,3 +288,35 @@ def test_sparse_mode_cli(synthetic_dataset):
         )
         errs.append(np.abs(img.data - gt).mean())
     assert float(np.mean(errs)) < 0.15, errs  # 12 inducing pts over 40 frames
+
+
+def test_precomputed_prediction_cache(synthetic_dataset):
+    """Prediction-side feature cache: a second predict run with
+    use_precomputed=True reads Features_prediction.csv instead of
+    re-parsing images (reference DataParser.h:440-455) and yields the same
+    features."""
+    tmp_path, paths = synthetic_dataset
+    us_train, dvf_train = paths["train"]
+    us_test, dvf_test = paths["test"]
+    prefix = str(tmp_path / "gprc")
+
+    parser = DataParser.for_training(
+        us_train, dvf_train, "", prefix, CONFIG_MODEL, CONFIG_LEARN
+    )
+    parser.get_training_data()
+
+    p1 = DataParser.for_prediction(
+        us_test, dvf_test, prefix, CONFIG_MODEL,
+        {"use_precomputed": False, "compute_groundtruth_features": False},
+    )
+    v1 = p1.get_test_data()
+    assert os.path.exists(prefix + "-inputFeatures_prediction.csv")
+
+    p2 = DataParser.for_prediction(
+        us_test, dvf_test, prefix, CONFIG_MODEL,
+        {"use_precomputed": True, "compute_groundtruth_features": False},
+    )
+    v2 = p2.get_test_data()
+    assert len(v1) == len(v2)
+    for a, b in zip(v1, v2):
+        np.testing.assert_allclose(a, b, atol=2e-6)  # csv stores 6 decimals
