@@ -14,6 +14,7 @@ from .kernels.kernels import (  # noqa: F401
     Gaussian,
     GaussianARD,
     GaussianExp,
+    Matern12,
     Matern32,
     Matern52,
     Kernel,

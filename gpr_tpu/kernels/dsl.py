@@ -28,6 +28,7 @@ _BASE = {
     "PeriodicKernel": (K.Periodic, 3),
     "RationalQuadraticKernel": (K.RationalQuadratic, 3),
     # extension kernels (not in the reference DSL)
+    "Matern12Kernel": (K.Matern12, 2),
     "Matern32Kernel": (K.Matern32, 2),
     "Matern52Kernel": (K.Matern52, 2),
     "LinearKernel": (K.Linear, 2),

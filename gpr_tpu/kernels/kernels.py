@@ -742,3 +742,40 @@ class Constant(Kernel):
 
     def to_string(self):
         return f"ConstantKernel({_fmt(self.value)},)"
+
+
+@_register
+@dataclasses.dataclass(frozen=True, eq=False)
+class Matern12(Kernel):
+    """Matern nu=1/2 (exponential / Ornstein-Uhlenbeck):
+    k = scale^2 exp(-r / sigma) — the rough end of the Matern family."""
+
+    sigma: Any
+    scale: Any = 1.0
+
+    def _eval(self, x, y):
+        r = jnp.sqrt(jnp.maximum(jnp.sum((x - y) ** 2), 1e-36))
+        return self.scale**2 * jnp.exp(-r / self.sigma)
+
+    def _gram(self, X, Y, symmetric):
+        r = jnp.sqrt(jnp.maximum(sqdist(X, Y), 1e-36))
+        return self.scale**2 * jnp.exp(-r / self.sigma)
+
+    @property
+    def params(self):
+        return (self.sigma, self.scale)
+
+    def _consume_params(self, vec):
+        return Matern12(vec[0], vec[1]), vec[2:]
+
+    def analytic_derivative(self, x, y):
+        x = jnp.atleast_1d(jnp.asarray(x))
+        y = jnp.atleast_1d(jnp.asarray(y))
+        r = jnp.sqrt(jnp.maximum(jnp.sum((x - y) ** 2), 1e-36))
+        e = jnp.exp(-r / self.sigma)
+        return jnp.stack(
+            [self.scale**2 * e * r / self.sigma**2, 2 * self.scale * e]
+        )
+
+    def to_string(self):
+        return f"Matern12Kernel({_fmt(self.sigma)},{_fmt(self.scale)},)"

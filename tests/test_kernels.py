@@ -325,3 +325,26 @@ class TestLinearConstantKernels:
                 np.asarray(k.analytic_derivative(x, y)), np.asarray(auto),
                 rtol=1e-8, atol=1e-12,
             )
+
+
+def test_matern12_ou_kernel(rng):
+    """Matern 1/2 = exponential/OU: value, DSL, derivative, PSD."""
+    import math as m
+    import gpr_tpu
+
+    k = kernels.Matern12(1.4, 0.9)
+    r = 0.6
+    np.testing.assert_allclose(
+        float(k(jnp.asarray([0.0]), jnp.asarray([r]))),
+        0.9**2 * m.exp(-r / 1.4), rtol=1e-10,
+    )
+    assert gpr_tpu.parse_kernel(gpr_tpu.kernel_to_string(k)) == k
+    x, y = jnp.asarray(rng.standard_normal(2)), jnp.asarray(rng.standard_normal(2))
+    vec = kernels.params_vector(k)
+    auto = jax.jacfwd(lambda v: k.with_params(list(v))(x, y))(vec)
+    np.testing.assert_allclose(
+        np.asarray(k.analytic_derivative(x, y)), np.asarray(auto), rtol=1e-6
+    )
+    X = jnp.asarray(rng.standard_normal((20, 2)))
+    evals = np.linalg.eigvalsh(np.asarray(kernels.gram(k, X)))
+    assert evals.min() > -1e-9

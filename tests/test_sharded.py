@@ -143,3 +143,29 @@ class TestDeterminism:
         a2, l2, _ = sg.fit_sharded(k, X, Y, 0.2, mesh)
         np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
         assert float(l1) == float(l2)
+
+
+class TestShardedWindowedNUTS:
+    def test_combo(self):
+        """Sharded NUTS with windowed warmup: psum'd per-window mass
+        estimation across devices."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from gpr_tpu.parallel.sharded_hmc import (
+            default_mesh as chains_mesh,
+            sample_hmc_sharded,
+        )
+        from gpr_tpu.inference.nuts import NUTSConfig, sample_nuts
+
+        scales = jnp.asarray([0.1, 5.0])
+        logp = lambda z: -0.5 * jnp.sum((z / scales) ** 2)
+        res = sample_hmc_sharded(
+            logp, np.zeros((16, 2)), jax.random.PRNGKey(1),
+            cfg=NUTSConfig(num_warmup=150, num_samples=100, max_depth=6,
+                           windowed_warmup=True),
+            mesh=chains_mesh(8), sampler=sample_nuts,
+        )
+        s = np.asarray(res.samples).reshape(-1, 2)
+        np.testing.assert_allclose(s.std(0), np.asarray(scales), rtol=0.35)
+        im = np.asarray(res.inv_mass)
+        assert im[1] / im[0] > 100
