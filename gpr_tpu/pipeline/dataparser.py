@@ -75,17 +75,20 @@ def list_files(path: str) -> List[str]:
 
 def _native_load(filenames: Sequence[str], scale: float) -> Optional[np.ndarray]:
     """Threaded C++ loader fast path (native/gpr_native.cpp) for directories
-    of binary VTK frames; None when unavailable/unsupported."""
-    if not all(f.endswith(".vtk") for f in filenames):
-        return None
+    of binary VTK or local-raw MHA frames; None when unavailable or the
+    format variant needs the Python codec (ASCII vtk, compressed mha)."""
     from ..utils import native
 
     if not native.available():
         return None
     try:
-        return native.load_vtk_dir(list(filenames), scale=scale)
+        if all(f.endswith(".vtk") for f in filenames):
+            return native.load_vtk_dir(list(filenames), scale=scale)
+        if all(f.endswith(".mha") for f in filenames):
+            return native.load_mha_dir(list(filenames), scale=scale)
     except (IOError, RuntimeError):
-        return None  # e.g. ASCII vtk — fall back to the Python codec
+        pass
+    return None
 
 
 def parse_image_files(filenames: Sequence[str]) -> np.ndarray:

@@ -60,6 +60,17 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_double,
         np.ctypeslib.ndpointer(np.float64, flags="F_CONTIGUOUS"),
     ]
+    lib.gpr_probe_mha.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_long),
+    ]
+    lib.gpr_load_mha_dir.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_double,
+        np.ctypeslib.ndpointer(np.float64, flags="F_CONTIGUOUS"),
+    ]
     _lib = lib
     return lib
 
@@ -115,6 +126,27 @@ def write_matrix(matrix, path: str) -> None:
     rc = lib.gpr_write_matrix(path.encode(), m, m.shape[0], m.shape[1])
     if rc != 0:
         raise IOError(f"gpr_native: write failed for {path} (rc={rc})")
+
+
+def load_mha_dir(paths: Sequence[str], scale: float = 1.0) -> np.ndarray:
+    """Threaded load of LOCAL-raw, uncompressed MetaImage frames into a
+    column-major (features, frames) matrix — the .mha analogue of
+    :func:`load_vtk_dir` (compressed/detached files raise; callers fall
+    back to the Python codec)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("gpr_native library not built (run make -C native)")
+    nvalues = ctypes.c_long()
+    rc = lib.gpr_probe_mha(paths[0].encode(), ctypes.byref(nvalues))
+    if rc != 0:
+        raise IOError(f"gpr_native: cannot probe {paths[0]} (rc={rc})")
+    nrows = nvalues.value
+    joined = b"\0".join(p.encode() for p in paths) + b"\0"
+    out = np.asfortranarray(np.empty((nrows, len(paths)), np.float64))
+    rc = lib.gpr_load_mha_dir(joined, len(paths), nrows, scale, out)
+    if rc != 0:
+        raise IOError(f"gpr_native: mha directory load failed (rc={rc})")
+    return out
 
 
 def load_vtk_dir(paths: Sequence[str], scale: float = 1.0) -> np.ndarray:

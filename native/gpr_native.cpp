@@ -159,6 +159,101 @@ int read_vtk_payload(const char* path, const VtkInfo& info, double scale,
   return 0;
 }
 
+struct MhaInfo {
+  long n = 0;       // voxels * channels
+  long header_bytes = 0;
+  int dtype = 0;    // 0=f64, 1=f32, 2=u8, 3=i16
+  bool compressed = false;
+  bool msb = false;
+};
+
+// Minimal MetaImage header parse (LOCAL raw payloads only).
+int probe_mha(const char* path, MhaInfo* info) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  char line[512];
+  long dims[8] = {0};
+  int ndims = 3, channels = 1;
+  bool local = false;
+  while (fgets(line, sizeof line, f)) {
+    if (strncmp(line, "NDims", 5) == 0) sscanf(line, "NDims = %d", &ndims);
+    else if (strncmp(line, "DimSize", 7) == 0)
+      sscanf(line, "DimSize = %ld %ld %ld %ld", &dims[0], &dims[1], &dims[2],
+             &dims[3]);
+    else if (strncmp(line, "ElementNumberOfChannels", 23) == 0)
+      sscanf(line, "ElementNumberOfChannels = %d", &channels);
+    else if (strncmp(line, "CompressedData = True", 21) == 0)
+      info->compressed = true;
+    else if (strncmp(line, "BinaryDataByteOrderMSB = True", 29) == 0 ||
+             strncmp(line, "ElementByteOrderMSB = True", 26) == 0)
+      info->msb = true;
+    else if (strncmp(line, "ElementType", 11) == 0) {
+      char t[64];
+      sscanf(line, "ElementType = %63s", t);
+      if (strcmp(t, "MET_DOUBLE") == 0) info->dtype = 0;
+      else if (strcmp(t, "MET_FLOAT") == 0) info->dtype = 1;
+      else if (strcmp(t, "MET_UCHAR") == 0) info->dtype = 2;
+      else if (strcmp(t, "MET_SHORT") == 0) info->dtype = 3;
+      else { fclose(f); return -3; }
+    } else if (strncmp(line, "ElementDataFile", 15) == 0) {
+      local = (strstr(line, "LOCAL") != nullptr);
+      info->header_bytes = ftell(f);
+      break;
+    }
+  }
+  fclose(f);
+  if (!local) return -4;  // detached raw: python fallback
+  long n = channels;
+  for (int i = 0; i < ndims; ++i) n *= (dims[i] > 0 ? dims[i] : 1);
+  info->n = n;
+  return 0;
+}
+
+int read_mha_payload(const char* path, const MhaInfo& info, double scale,
+                     double* out) {
+  if (info.compressed) return -4;  // python handles zlib
+  const int elem = info.dtype == 0 ? 8 : info.dtype == 1 ? 4
+                   : info.dtype == 2 ? 1 : 2;
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  if (fseek(f, info.header_bytes, SEEK_SET) != 0) { fclose(f); return -2; }
+  std::vector<unsigned char> buf(size_t(info.n) * elem);
+  const size_t got = fread(buf.data(), 1, buf.size(), f);
+  fclose(f);
+  if (got < buf.size()) return -5;
+  const unsigned char* p = buf.data();
+  // payloads are little-endian unless MSB was declared
+  for (long i = 0; i < info.n; ++i) {
+    double v = 0;
+    switch (info.dtype) {
+      case 0: {
+        double d;
+        if (info.msb) d = be64(p + 8 * i);
+        else std::memcpy(&d, p + 8 * i, 8);
+        v = d;
+        break;
+      }
+      case 1: {
+        float x;
+        if (info.msb) x = be32(p + 4 * i);
+        else std::memcpy(&x, p + 4 * i, 4);
+        v = x;
+        break;
+      }
+      case 2: v = double(p[i]); break;
+      case 3: {
+        int16_t x;
+        if (info.msb) x = int16_t((uint16_t(p[2 * i]) << 8) | p[2 * i + 1]);
+        else std::memcpy(&x, p + 2 * i, 2);
+        v = x;
+        break;
+      }
+    }
+    out[i] = v * scale;
+  }
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -243,6 +338,41 @@ int gpr_load_vtk_dir(const char* paths, long nfiles, long nrows, double scale,
       const long n = info.nx * info.ny * info.nz * info.ncomp;
       if (n != nrows) rc = -6;
       else rc = read_vtk_payload(files[j], info, scale, out + j * nrows);
+    }
+    if (rc != 0) {
+#pragma omp critical
+      err = rc;
+    }
+  }
+  return err;
+}
+
+// MetaImage analogues of the VTK loaders (LOCAL uncompressed payloads).
+int gpr_probe_mha(const char* path, long* nvalues) {
+  MhaInfo info;
+  int rc = probe_mha(path, &info);
+  if (rc != 0) return rc;
+  if (info.compressed) return -4;
+  *nvalues = info.n;
+  return 0;
+}
+
+int gpr_load_mha_dir(const char* paths, long nfiles, long nrows, double scale,
+                     double* out) {
+  std::vector<const char*> files(nfiles);
+  const char* p = paths;
+  for (long i = 0; i < nfiles; ++i) {
+    files[i] = p;
+    p += strlen(p) + 1;
+  }
+  int err = 0;
+#pragma omp parallel for schedule(dynamic)
+  for (long j = 0; j < nfiles; ++j) {
+    MhaInfo info;
+    int rc = probe_mha(files[j], &info);
+    if (rc == 0) {
+      if (info.n != nrows) rc = -6;
+      else rc = read_mha_payload(files[j], info, scale, out + j * nrows);
     }
     if (rc != 0) {
 #pragma omp critical

@@ -92,3 +92,44 @@ class TestNativeVtkLoader:
         imageio.write_image(imageio.Image(np.zeros((5, 5)), (1, 1), (0, 0)), p2)
         with pytest.raises(IOError):
             native.load_vtk_dir([p1, p2])
+
+
+@needs_native
+class TestNativeMhaLoader:
+    def test_mha_match_python(self, tmp_path):
+        rng = np.random.default_rng(6)
+        files = []
+        for i in range(4):
+            df = rng.standard_normal((2, 3, 4, 3))
+            p = str(tmp_path / f"d{i:03d}.mha")
+            imageio.write_image(
+                imageio.Image(df, (1, 1, 1), (0, 0, 0), ncomponents=3), p
+            )
+            files.append(p)
+        M = native.load_mha_dir(files)
+        cols = [imageio.read_image(f).flatten() for f in files]
+        np.testing.assert_array_equal(M, np.stack(cols, axis=1))
+
+    def test_compressed_falls_back(self, tmp_path):
+        """Compressed .mha raises from the native path; the DataParser
+        dispatch falls back to the Python codec transparently."""
+        p = str(tmp_path / "c.mha")
+        data = np.random.default_rng(7).standard_normal((2, 2, 2, 3))
+        imageio.write_mha(
+            imageio.Image(data, (1, 1, 1), (0, 0, 0), ncomponents=3),
+            p, compressed=True,
+        )
+        with pytest.raises(IOError):
+            native.load_mha_dir([p])
+        M = dataparser.parse_displacement_files([p])
+        np.testing.assert_allclose(M[:, 0], data.reshape(-1))
+
+    def test_uchar_mha_scaled(self, tmp_path):
+        """uint8 MHA frames through the /255 image path."""
+        img = np.arange(24, dtype=np.uint8).reshape(2, 3, 4)
+        p = str(tmp_path / "u.mha")
+        imageio.write_image(imageio.Image(img, (1, 1, 1), (0, 0, 0)), p)
+        M = native.load_mha_dir([p], scale=1 / 255.0)
+        np.testing.assert_allclose(
+            M[:, 0], img.reshape(-1).astype(np.float64) / 255.0
+        )
