@@ -274,3 +274,49 @@ def test_get_samples_grid():
     assert np.all(np.diff(s) > 0)  # monotone grid
     mode, std = float(d.mode()), math.sqrt(float(d.variance()))
     assert s[0] >= mode - std - 1e-6 and s[-1] <= mode + std + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# end-to-end MLL gradients across every kernel family
+# ---------------------------------------------------------------------------
+
+MLL_GRAD_KERNELS = [
+    gt.Gaussian(2.5, 1.3),
+    gt.GaussianExp(0.7, 0.4),
+    gt.RationalQuadratic(1.2, 2.0, 3.0),
+    gt.Periodic(1.5, 0.8, 1.1),
+    kermod.Matern12(1.4, 0.9),
+    kermod.Matern32(1.5, 0.8),
+    kermod.Matern52(2.0, 1.0),
+    kermod.GaussianARD(jnp.asarray([1.7, 0.9, 2.2]), 1.1),
+    kermod.Linear(0.8, 0.3),
+    kermod.Constant(1.5),
+    gt.Sum(gt.Gaussian(2.0, 1.0), kermod.Matern32(1.5, 0.8)),
+    gt.Product(kermod.Matern52(1.3, 0.9), gt.Periodic(1.5, 0.8, 1.1)),
+]
+
+
+@pytest.mark.parametrize(
+    "kernel", MLL_GRAD_KERNELS, ids=[k.to_string() for k in MLL_GRAD_KERNELS]
+)
+def test_mll_grad_finite_difference_all_families(kernel, rng):
+    """The gradient the hyperparameter optimizers consume — jax.grad of the
+    marginal likelihood wrt the reference-ordered parameter vector — must
+    match central finite differences for EVERY kernel family, including the
+    extension kernels and composite trees (the end-to-end analogue of
+    tests/KernelDerivativeTest.cpp, which only checks k(x,y) itself)."""
+    X = jnp.asarray(rng.standard_normal((12, 3)))
+    Y = jnp.asarray(rng.standard_normal((12, 2)))
+    sigma = 0.05
+    vec0 = kermod.params_vector(kernel)
+
+    def f(vec):
+        return lk.mll_scalar(kernel.with_params(list(vec)), X, Y, sigma)
+
+    auto = np.asarray(jax.grad(f)(vec0))
+    h = 1e-5
+    fd = np.empty_like(auto)
+    for i in range(vec0.shape[0]):
+        e = jnp.zeros_like(vec0).at[i].set(h)
+        fd[i] = (float(f(vec0 + e)) - float(f(vec0 - e))) / (2 * h)
+    np.testing.assert_allclose(auto, fd, rtol=2e-4, atol=1e-6)
