@@ -229,3 +229,30 @@ def test_sparse_save_load_roundtrip(tmp_path, rng):
     c1 = float(sgp.credible_interval(X[3]))
     c2 = float(loaded.credible_interval(X[3]))
     assert c1 == c2
+
+
+def test_inducing_gradient_finite_difference(rng):
+    """grad wrt inducing locations Z — the quantity optimize_inducing and
+    fit_svgp descend — vs central finite differences, for both the sparse
+    MLL and the Titsias collapsed ELBO."""
+    X = rng.standard_normal((20, 2))
+    Y = rng.standard_normal((20, 1))
+    Z = rng.standard_normal((4, 2))
+    k, sigma, jitter = gt.Gaussian(1.3, 0.9), 0.2, 1e-8
+
+    _, g_mll = sp.sparse_mll_and_grad_inducing(k, Z, X, Y, sigma, jitter)
+    g_elbo = np.asarray(
+        jax.grad(lambda z: sp.titsias_elbo(k, z, X, Y, sigma, jitter))(
+            jnp.asarray(Z)
+        )
+    )
+    h = 1e-5
+    for fn, g in (
+        (lambda z: float(sp.sparse_mll_scalar(k, z, X, Y, sigma, jitter)), np.asarray(g_mll)),
+        (lambda z: float(sp.titsias_elbo(k, z, X, Y, sigma, jitter)), g_elbo),
+    ):
+        for i, j in [(0, 0), (1, 1), (3, 0)]:
+            e = np.zeros_like(Z)
+            e[i, j] = h
+            fd = (fn(jnp.asarray(Z + e)) - fn(jnp.asarray(Z - e))) / (2 * h)
+            assert abs(fd - g[i, j]) < 2e-4 * max(1.0, abs(fd)), (i, j, fd, g[i, j])
