@@ -36,7 +36,7 @@ from .gp.sparse import SparseGP, fit_sparse, fit_svgp  # noqa: F401
 from .gp.batched import fit_batched, mll_batched, predict_batched  # noqa: F401
 from .gp import likelihood  # noqa: F401
 from .inference.optimize import fit_map, fit_mle  # noqa: F401
-from .inference.hmc import HMCConfig, sample_hmc  # noqa: F401
+from .inference.hmc import HMCConfig, sample_hmc, sample_hmc_chunked  # noqa: F401
 from .inference.nuts import NUTSConfig, sample_nuts  # noqa: F401
 from .utils import config  # noqa: F401
 

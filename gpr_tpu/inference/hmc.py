@@ -227,25 +227,23 @@ def init_chains(logp_fn, z0: jax.Array) -> ChainState:
     return ChainState(z=z0, logp=logp, grad=grad)
 
 
-def sample_hmc(
-    logp_fn: Callable,
-    z0: jax.Array,
-    key,
-    cfg: HMCConfig = HMCConfig(),
-    cross_chain_mean: Optional[Callable] = None,
-    cross_chain_moments: Optional[Callable] = None,
-) -> HMCResult:
-    """Run vmapped HMC chains.  z0: (chains, dim) initial positions (log
-    space).  ``cross_chain_mean`` / ``cross_chain_moments`` hooks let the
-    sharded driver combine adaptation statistics across devices (psum)."""
-    z0 = jnp.atleast_2d(jnp.asarray(z0))
-    n_chains, dim = z0.shape
-    logp_grad_fn = jax.value_and_grad(logp_fn)
-
-    states = init_chains(logp_fn, z0)
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-
-    inv_mass = jnp.ones((dim,), z0.dtype)
+def _adapt_phase(
+    logp_grad_fn,
+    states: ChainState,
+    k1,
+    k2,
+    cfg: HMCConfig,
+    dim: int,
+    dtype,
+    cross_chain_mean: Optional[Callable],
+    cross_chain_moments: Optional[Callable],
+):
+    """Warmup shared by the scan and chunked samplers: dual-averaged step
+    size + diagonal mass estimation (two-stage by default, Stan-style
+    expanding windows with ``cfg.windowed_warmup``).  Consumes exactly the
+    keys ``k1``/``k2`` so both samplers adapt identically given the same
+    master key.  Returns (states, step_size, inv_mass)."""
+    inv_mass = jnp.ones((dim,), dtype)
 
     def _estimate_mass(zs):
         flat = zs.reshape(-1, dim)
@@ -262,7 +260,7 @@ def sample_hmc(
         keys_w = jax.random.split(k1, len(wins) + 2)
         states, eps, _, _ = _warmup_scan(
             logp_grad_fn, states, keys_w[0],
-            jnp.asarray(cfg.initial_step_size, z0.dtype), inv_mass, cfg,
+            jnp.asarray(cfg.initial_step_size, dtype), inv_mass, cfg,
             head, cfg.target_accept, cross_chain_mean,
         )
         for i, win in enumerate(wins):
@@ -281,7 +279,7 @@ def sample_hmc(
 
         # warmup stage 1: adapt step size under unit mass
         states, eps1, zs1, _ = _warmup_scan(
-            logp_grad_fn, states, k1, jnp.asarray(cfg.initial_step_size, z0.dtype),
+            logp_grad_fn, states, k1, jnp.asarray(cfg.initial_step_size, dtype),
             inv_mass, cfg, n_w1, cfg.target_accept, cross_chain_mean
         )
 
@@ -293,6 +291,32 @@ def sample_hmc(
             logp_grad_fn, states, k2, eps1, inv_mass, cfg, n_w2,
             cfg.target_accept, cross_chain_mean
         )
+
+    return states, eps2, inv_mass
+
+
+def sample_hmc(
+    logp_fn: Callable,
+    z0: jax.Array,
+    key,
+    cfg: HMCConfig = HMCConfig(),
+    cross_chain_mean: Optional[Callable] = None,
+    cross_chain_moments: Optional[Callable] = None,
+) -> HMCResult:
+    """Run vmapped HMC chains.  z0: (chains, dim) initial positions (log
+    space).  ``cross_chain_mean`` / ``cross_chain_moments`` hooks let the
+    sharded driver combine adaptation statistics across devices (psum)."""
+    z0 = jnp.atleast_2d(jnp.asarray(z0))
+    n_chains, dim = z0.shape
+    logp_grad_fn = jax.value_and_grad(logp_fn)
+
+    states = init_chains(logp_fn, z0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    states, eps2, inv_mass = _adapt_phase(
+        logp_grad_fn, states, k1, k2, cfg, dim, z0.dtype,
+        cross_chain_mean, cross_chain_moments,
+    )
 
     # sampling
     def sample_step(states, key_t):
@@ -308,6 +332,82 @@ def sample_hmc(
     samples = jnp.swapaxes(zs, 0, 1)  # (chains, T, dim)
     return HMCResult(
         samples=samples,
+        accept_rate=jnp.mean(accepts, axis=0),
+        step_size=eps2,
+        inv_mass=inv_mass,
+    )
+
+
+def sample_hmc_chunked(
+    logp_fn: Callable,
+    z0: jax.Array,
+    key,
+    cfg: HMCConfig = HMCConfig(),
+    chunk_size: int = 64,
+    cross_chain_mean: Optional[Callable] = None,
+    cross_chain_moments: Optional[Callable] = None,
+) -> HMCResult:
+    """``sample_hmc`` with the sampling stage python-unrolled in jitted
+    chunks instead of one ``lax.scan``.
+
+    Same math, same key flow, identical draws — but the compiler sees
+    ``chunk_size`` explicit transition copies per jit rather than a scan
+    over the transition.  On the remote-tunnel TPU backend, scanning over
+    an HMC transition compiles pathologically slowly (>>10 min at modest
+    sizes) while the identical unrolled program compiles in tens of seconds
+    (measured: 8 chains, n=256, 1027 samples/s; see BENCHMARKS.md).  Use
+    this path when targeting that backend, or whenever scan-of-transition
+    compile time dominates; at most two programs are compiled (full chunk +
+    remainder)."""
+    z0 = jnp.atleast_2d(jnp.asarray(z0))
+    n_chains, dim = z0.shape
+    logp_grad_fn = jax.value_and_grad(logp_fn)
+
+    states = init_chains(logp_fn, z0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    states, eps2, inv_mass = _adapt_phase(
+        logp_grad_fn, states, k1, k2, cfg, dim, z0.dtype,
+        cross_chain_mean, cross_chain_moments,
+    )
+
+    transition = jax.vmap(
+        lambda s, k: _hmc_transition(logp_grad_fn, s, k, eps2, inv_mass, cfg)
+    )
+
+    def make_chunk_fn(length: int):
+        def run(states, keys_chunk):
+            zs, accs = [], []
+            for t in range(length):
+                states, a = transition(
+                    states, jax.random.split(keys_chunk[t], n_chains)
+                )
+                zs.append(states.z)
+                accs.append(a)
+            return states, jnp.stack(zs), jnp.stack(accs)
+
+        return jax.jit(run)
+
+    keys = jax.random.split(k3, cfg.num_samples)
+    chunk_size = max(1, min(chunk_size, cfg.num_samples))
+    n_full, rem = divmod(cfg.num_samples, chunk_size)
+    chunk_fn = make_chunk_fn(chunk_size)
+    zs_parts, acc_parts = [], []
+    for c in range(n_full):
+        states, zs_c, acc_c = chunk_fn(
+            states, keys[c * chunk_size : (c + 1) * chunk_size]
+        )
+        zs_parts.append(zs_c)
+        acc_parts.append(acc_c)
+    if rem:
+        states, zs_c, acc_c = make_chunk_fn(rem)(states, keys[-rem:])
+        zs_parts.append(zs_c)
+        acc_parts.append(acc_c)
+
+    zs = jnp.concatenate(zs_parts, axis=0)  # (T, chains, dim)
+    accepts = jnp.concatenate(acc_parts, axis=0)
+    return HMCResult(
+        samples=jnp.swapaxes(zs, 0, 1),
         accept_rate=jnp.mean(accepts, axis=0),
         step_size=eps2,
         inv_mass=inv_mass,

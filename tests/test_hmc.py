@@ -219,3 +219,34 @@ def test_profiler_trace_writes(tmp_path):
     for root, _, files in os.walk(d):
         found.extend(files)
     assert found, "no trace files written"
+
+
+def test_chunked_sampler_matches_scan():
+    """sample_hmc_chunked must reproduce sample_hmc exactly: same warmup
+    key flow, same per-transition keys, same math — only the sampling loop
+    is python-unrolled in jitted chunks (the remote-TPU compile workaround,
+    BENCHMARKS.md).  Chunk size 3 over 8 samples exercises the remainder
+    program."""
+    rng = np.random.default_rng(11)
+    X = jnp.asarray(rng.standard_normal((16, 2)))
+    Y = jnp.asarray(np.sin(np.asarray(X[:, 0])))[:, None]
+    logp = hm.make_gp_log_posterior(gt.Gaussian(1.0, 1.0), X, Y, sigma=0.1)
+    z0 = jnp.zeros((2, 2))
+    key = jax.random.PRNGKey(5)
+    cfg = hm.HMCConfig(num_warmup=20, num_samples=8, num_leapfrog=4)
+
+    r_scan = hm.sample_hmc(logp, z0, key, cfg)
+    r_chunk = hm.sample_hmc_chunked(logp, z0, key, cfg, chunk_size=3)
+
+    np.testing.assert_allclose(
+        np.asarray(r_chunk.samples), np.asarray(r_scan.samples), rtol=0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(r_chunk.step_size), float(r_scan.step_size), rtol=1e-15
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_chunk.inv_mass), np.asarray(r_scan.inv_mass), rtol=1e-15
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_chunk.accept_rate), np.asarray(r_scan.accept_rate), atol=1e-12
+    )
