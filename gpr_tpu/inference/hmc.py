@@ -16,7 +16,13 @@ factorization work lands on the MXU, and chains are embarrassingly parallel:
 Adaptation: Nesterov dual-averaging on the step size (target acceptance
 0.8) and a diagonal mass matrix estimated from warmup samples, in three
 jitted ``lax.scan`` stages (warmup-1: step size; warmup-2: step size under
-the adapted mass; sampling).
+the adapted mass; sampling).  ``sample_hmc_chunked`` runs the same
+computation with every scan replaced by jitted chunks of python-unrolled
+transitions, so no compiled program contains a scan-over-transition (the
+remote-backend compile-time workaround, BENCHMARKS.md).  The unrolled
+programs fuse differently, so draws match the scan path only to rounding
+over short runs; once a rounding difference flips one Metropolis accept
+the chains decorrelate — same stationary distribution, different draws.
 
 Everything is parameterized in LOG space (theta = exp(z)) so positivity is
 structural; the Jacobian term sum(z) is included in the log posterior.
@@ -168,10 +174,15 @@ class HMCResult(NamedTuple):
 
 
 def _warmup_scan(logp_grad_fn, states, key, eps0, inv_mass, cfg, n_steps,
-                 target, cross_chain_mean=None):
+                 target, cross_chain_mean=None, unroll_chunk: int = 0):
     """Warmup with shared dual-averaged step size across all chains (the
     adaptation statistic is the mean acceptance over chains; with a mesh the
-    mean additionally runs over devices via psum — see sample_hmc_sharded)."""
+    mean additionally runs over devices via psum — see sample_hmc_sharded).
+
+    With ``unroll_chunk > 0`` the ``lax.scan`` is replaced by jitted chunks
+    of python-unrolled steps threading the dual-averaging carry — the same
+    adaptation up to compiler-fusion rounding, with no scan-over-transition
+    in the compiled program (see sample_hmc_chunked)."""
     mu = jnp.log(10.0 * eps0)
     t0, gamma, kappa = 10.0, 0.05, 0.75
 
@@ -197,7 +208,36 @@ def _warmup_scan(logp_grad_fn, states, key, eps0, inv_mass, cfg, n_steps,
 
     keys = jax.random.split(key, n_steps)
     init = (states, jnp.log(eps0), jnp.log(eps0), jnp.asarray(0.0, states.z.dtype), jnp.asarray(0.0, states.z.dtype))
-    (states, log_eps, log_eps_bar, _, _), (zs, accepts) = lax.scan(step_fn, init, keys)
+    if unroll_chunk > 0:
+        chunk = max(1, min(unroll_chunk, n_steps))
+
+        def make_chunk_fn(length):
+            def run(carry, keys_chunk):
+                zs, accs = [], []
+                for t in range(length):
+                    carry, (z, a) = step_fn(carry, keys_chunk[t])
+                    zs.append(z)
+                    accs.append(a)
+                return carry, jnp.stack(zs), jnp.stack(accs)
+
+            return jax.jit(run)
+
+        n_full, rem = divmod(n_steps, chunk)
+        chunk_fn = make_chunk_fn(chunk)
+        carry, zs_parts, acc_parts = init, [], []
+        for c in range(n_full):
+            carry, zs_c, acc_c = chunk_fn(carry, keys[c * chunk : (c + 1) * chunk])
+            zs_parts.append(zs_c)
+            acc_parts.append(acc_c)
+        if rem:
+            carry, zs_c, acc_c = make_chunk_fn(rem)(carry, keys[-rem:])
+            zs_parts.append(zs_c)
+            acc_parts.append(acc_c)
+        states, log_eps, log_eps_bar, _, _ = carry
+        zs = jnp.concatenate(zs_parts, axis=0)
+        accepts = jnp.concatenate(acc_parts, axis=0)
+    else:
+        (states, log_eps, log_eps_bar, _, _), (zs, accepts) = lax.scan(step_fn, init, keys)
     return states, jnp.exp(log_eps_bar), zs, accepts
 
 
@@ -237,6 +277,7 @@ def _adapt_phase(
     dtype,
     cross_chain_mean: Optional[Callable],
     cross_chain_moments: Optional[Callable],
+    unroll_chunk: int = 0,
 ):
     """Warmup shared by the scan and chunked samplers: dual-averaged step
     size + diagonal mass estimation (two-stage by default, Stan-style
@@ -261,17 +302,17 @@ def _adapt_phase(
         states, eps, _, _ = _warmup_scan(
             logp_grad_fn, states, keys_w[0],
             jnp.asarray(cfg.initial_step_size, dtype), inv_mass, cfg,
-            head, cfg.target_accept, cross_chain_mean,
+            head, cfg.target_accept, cross_chain_mean, unroll_chunk,
         )
         for i, win in enumerate(wins):
             states, eps, zs_w, _ = _warmup_scan(
                 logp_grad_fn, states, keys_w[i + 1], eps, inv_mass, cfg,
-                win, cfg.target_accept, cross_chain_mean,
+                win, cfg.target_accept, cross_chain_mean, unroll_chunk,
             )
             inv_mass = _estimate_mass(zs_w)
         states, eps2, _, _ = _warmup_scan(
             logp_grad_fn, states, keys_w[-1], eps, inv_mass, cfg,
-            tail_n, cfg.target_accept, cross_chain_mean,
+            tail_n, cfg.target_accept, cross_chain_mean, unroll_chunk,
         )
     else:
         n_w1 = max(cfg.num_warmup // 2, 1)
@@ -280,7 +321,8 @@ def _adapt_phase(
         # warmup stage 1: adapt step size under unit mass
         states, eps1, zs1, _ = _warmup_scan(
             logp_grad_fn, states, k1, jnp.asarray(cfg.initial_step_size, dtype),
-            inv_mass, cfg, n_w1, cfg.target_accept, cross_chain_mean
+            inv_mass, cfg, n_w1, cfg.target_accept, cross_chain_mean,
+            unroll_chunk,
         )
 
         # mass estimation from the second half of stage-1 draws (all chains)
@@ -289,7 +331,7 @@ def _adapt_phase(
         # warmup stage 2: re-adapt step size under the new metric
         states, eps2, _, _ = _warmup_scan(
             logp_grad_fn, states, k2, eps1, inv_mass, cfg, n_w2,
-            cfg.target_accept, cross_chain_mean
+            cfg.target_accept, cross_chain_mean, unroll_chunk,
         )
 
     return states, eps2, inv_mass
@@ -347,10 +389,13 @@ def sample_hmc_chunked(
     cross_chain_mean: Optional[Callable] = None,
     cross_chain_moments: Optional[Callable] = None,
 ) -> HMCResult:
-    """``sample_hmc`` with the sampling stage python-unrolled in jitted
-    chunks instead of one ``lax.scan``.
+    """``sample_hmc`` with warmup and sampling python-unrolled in jitted
+    chunks instead of ``lax.scan`` stages.
 
-    Same math, same key flow, identical draws — but the compiler sees
+    Same math, same key flow — short runs agree with ``sample_hmc`` to
+    float rounding, and long runs agree in distribution (differently-fused
+    programs round differently; one flipped Metropolis decision then
+    decorrelates the chains — see module docstring).  The compiler sees
     ``chunk_size`` explicit transition copies per jit rather than a scan
     over the transition.  On the remote-tunnel TPU backend, scanning over
     an HMC transition compiles pathologically slowly (>>10 min at modest
@@ -368,7 +413,7 @@ def sample_hmc_chunked(
 
     states, eps2, inv_mass = _adapt_phase(
         logp_grad_fn, states, k1, k2, cfg, dim, z0.dtype,
-        cross_chain_mean, cross_chain_moments,
+        cross_chain_mean, cross_chain_moments, unroll_chunk=chunk_size,
     )
 
     transition = jax.vmap(

@@ -222,11 +222,13 @@ def test_profiler_trace_writes(tmp_path):
 
 
 def test_chunked_sampler_matches_scan():
-    """sample_hmc_chunked must reproduce sample_hmc exactly: same warmup
-    key flow, same per-transition keys, same math — only the sampling loop
-    is python-unrolled in jitted chunks (the remote-TPU compile workaround,
-    BENCHMARKS.md).  Chunk size 3 over 8 samples exercises the remainder
-    program."""
+    """sample_hmc_chunked must reproduce sample_hmc: same key flow, same
+    math — every scan is python-unrolled in jitted chunks (the remote-TPU
+    compile workaround, BENCHMARKS.md).  The unrolled programs fuse
+    differently than the scans, so agreement is to float rounding and only
+    over SHORT runs — once a rounding difference flips one Metropolis
+    accept, chains decorrelate (equal in distribution, not per-draw).
+    Chunk size 3 over 8 samples exercises the remainder program."""
     rng = np.random.default_rng(11)
     X = jnp.asarray(rng.standard_normal((16, 2)))
     Y = jnp.asarray(np.sin(np.asarray(X[:, 0])))[:, None]
@@ -239,14 +241,14 @@ def test_chunked_sampler_matches_scan():
     r_chunk = hm.sample_hmc_chunked(logp, z0, key, cfg, chunk_size=3)
 
     np.testing.assert_allclose(
-        np.asarray(r_chunk.samples), np.asarray(r_scan.samples), rtol=0, atol=1e-12
+        np.asarray(r_chunk.samples), np.asarray(r_scan.samples), atol=1e-7
     )
     np.testing.assert_allclose(
-        float(r_chunk.step_size), float(r_scan.step_size), rtol=1e-15
+        float(r_chunk.step_size), float(r_scan.step_size), rtol=1e-8
     )
     np.testing.assert_allclose(
-        np.asarray(r_chunk.inv_mass), np.asarray(r_scan.inv_mass), rtol=1e-15
+        np.asarray(r_chunk.inv_mass), np.asarray(r_scan.inv_mass), rtol=1e-8
     )
     np.testing.assert_allclose(
-        np.asarray(r_chunk.accept_rate), np.asarray(r_scan.accept_rate), atol=1e-12
+        np.asarray(r_chunk.accept_rate), np.asarray(r_scan.accept_rate), atol=1e-7
     )
