@@ -40,6 +40,27 @@ from jax import lax
 from ..gp import likelihood as lk
 
 
+def _cached_program(anchor, key, build):
+    """Traced/compiled chunk programs for the unrolled sampler, cached on
+    the log-posterior function itself (an attribute, so the programs live
+    exactly as long as the posterior; the jitted programs close over the
+    posterior, which rules out a WeakKeyDictionary — the values would keep
+    the keys alive).  Re-creating jax.jit objects every invocation forces
+    a re-trace of each chunk program — tens of seconds for production
+    chunk sizes, even when the persistent compile cache avoids XLA
+    recompilation; reusing the jit object makes repeat sample_hmc_chunked
+    calls execution-bound (measured 74 -> 293 samples/s on-chip)."""
+    if anchor is None:
+        return jax.jit(build())
+    try:
+        per = anchor.__dict__.setdefault("_gpr_chunk_programs", {})
+    except AttributeError:  # anchor without a writable __dict__
+        return jax.jit(build())
+    if key not in per:
+        per[key] = jax.jit(build())
+    return per[key]
+
+
 # ---------------------------------------------------------------------------
 # log posterior builders
 # ---------------------------------------------------------------------------
@@ -174,7 +195,8 @@ class HMCResult(NamedTuple):
 
 
 def _warmup_scan(logp_grad_fn, states, key, eps0, inv_mass, cfg, n_steps,
-                 target, cross_chain_mean=None, unroll_chunk: int = 0):
+                 target, cross_chain_mean=None, unroll_chunk: int = 0,
+                 cache_anchor=None):
     """Warmup with shared dual-averaged step size across all chains (the
     adaptation statistic is the mean acceptance over chains; with a mesh the
     mean additionally runs over devices via psum — see sample_hmc_sharded).
@@ -186,7 +208,7 @@ def _warmup_scan(logp_grad_fn, states, key, eps0, inv_mass, cfg, n_steps,
     mu = jnp.log(10.0 * eps0)
     t0, gamma, kappa = 10.0, 0.05, 0.75
 
-    def step_fn(carry, key_t):
+    def step_fn(carry, key_t, mu=mu, inv_mass=inv_mass):
         states, log_eps, log_eps_bar, h_bar, t = carry
         keys = jax.random.split(key_t, states.z.shape[0])
         eps = jnp.exp(log_eps)
@@ -212,25 +234,43 @@ def _warmup_scan(logp_grad_fn, states, key, eps0, inv_mass, cfg, n_steps,
         chunk = max(1, min(unroll_chunk, n_steps))
 
         def make_chunk_fn(length):
-            def run(carry, keys_chunk):
-                zs, accs = [], []
-                for t in range(length):
-                    carry, (z, a) = step_fn(carry, keys_chunk[t])
-                    zs.append(z)
-                    accs.append(a)
-                return carry, jnp.stack(zs), jnp.stack(accs)
+            # mu / inv_mass enter as traced arguments, NOT closure
+            # constants: every warmup stage then lowers to the same HLO,
+            # so in-process and persistent compile caches hit across
+            # stages and invocations.
+            def build():
+                def run(carry, keys_chunk, mu, inv_mass):
+                    zs, accs = [], []
+                    for t in range(length):
+                        carry, (z, a) = step_fn(
+                            carry, keys_chunk[t], mu=mu, inv_mass=inv_mass
+                        )
+                        zs.append(z)
+                        accs.append(a)
+                    return carry, jnp.stack(zs), jnp.stack(accs)
 
-            return jax.jit(run)
+                return run
+
+            ccm = None if cross_chain_mean is None else id(cross_chain_mean)
+            return _cached_program(
+                cache_anchor,
+                ("warmup", length, states.z.shape[0], cfg, target, ccm),
+                build,
+            )
 
         n_full, rem = divmod(n_steps, chunk)
         chunk_fn = make_chunk_fn(chunk)
         carry, zs_parts, acc_parts = init, [], []
         for c in range(n_full):
-            carry, zs_c, acc_c = chunk_fn(carry, keys[c * chunk : (c + 1) * chunk])
+            carry, zs_c, acc_c = chunk_fn(
+                carry, keys[c * chunk : (c + 1) * chunk], mu, inv_mass
+            )
             zs_parts.append(zs_c)
             acc_parts.append(acc_c)
         if rem:
-            carry, zs_c, acc_c = make_chunk_fn(rem)(carry, keys[-rem:])
+            carry, zs_c, acc_c = make_chunk_fn(rem)(
+                carry, keys[-rem:], mu, inv_mass
+            )
             zs_parts.append(zs_c)
             acc_parts.append(acc_c)
         states, log_eps, log_eps_bar, _, _ = carry
@@ -278,6 +318,7 @@ def _adapt_phase(
     cross_chain_mean: Optional[Callable],
     cross_chain_moments: Optional[Callable],
     unroll_chunk: int = 0,
+    cache_anchor=None,
 ):
     """Warmup shared by the scan and chunked samplers: dual-averaged step
     size + diagonal mass estimation (two-stage by default, Stan-style
@@ -302,17 +343,17 @@ def _adapt_phase(
         states, eps, _, _ = _warmup_scan(
             logp_grad_fn, states, keys_w[0],
             jnp.asarray(cfg.initial_step_size, dtype), inv_mass, cfg,
-            head, cfg.target_accept, cross_chain_mean, unroll_chunk,
+            head, cfg.target_accept, cross_chain_mean, unroll_chunk, cache_anchor,
         )
         for i, win in enumerate(wins):
             states, eps, zs_w, _ = _warmup_scan(
                 logp_grad_fn, states, keys_w[i + 1], eps, inv_mass, cfg,
-                win, cfg.target_accept, cross_chain_mean, unroll_chunk,
+                win, cfg.target_accept, cross_chain_mean, unroll_chunk, cache_anchor,
             )
             inv_mass = _estimate_mass(zs_w)
         states, eps2, _, _ = _warmup_scan(
             logp_grad_fn, states, keys_w[-1], eps, inv_mass, cfg,
-            tail_n, cfg.target_accept, cross_chain_mean, unroll_chunk,
+            tail_n, cfg.target_accept, cross_chain_mean, unroll_chunk, cache_anchor,
         )
     else:
         n_w1 = max(cfg.num_warmup // 2, 1)
@@ -322,7 +363,7 @@ def _adapt_phase(
         states, eps1, zs1, _ = _warmup_scan(
             logp_grad_fn, states, k1, jnp.asarray(cfg.initial_step_size, dtype),
             inv_mass, cfg, n_w1, cfg.target_accept, cross_chain_mean,
-            unroll_chunk,
+            unroll_chunk, cache_anchor,
         )
 
         # mass estimation from the second half of stage-1 draws (all chains)
@@ -331,7 +372,7 @@ def _adapt_phase(
         # warmup stage 2: re-adapt step size under the new metric
         states, eps2, _, _ = _warmup_scan(
             logp_grad_fn, states, k2, eps1, inv_mass, cfg, n_w2,
-            cfg.target_accept, cross_chain_mean, unroll_chunk,
+            cfg.target_accept, cross_chain_mean, unroll_chunk, cache_anchor,
         )
 
     return states, eps2, inv_mass
@@ -414,24 +455,33 @@ def sample_hmc_chunked(
     states, eps2, inv_mass = _adapt_phase(
         logp_grad_fn, states, k1, k2, cfg, dim, z0.dtype,
         cross_chain_mean, cross_chain_moments, unroll_chunk=chunk_size,
-    )
-
-    transition = jax.vmap(
-        lambda s, k: _hmc_transition(logp_grad_fn, s, k, eps2, inv_mass, cfg)
+        cache_anchor=logp_fn,
     )
 
     def make_chunk_fn(length: int):
-        def run(states, keys_chunk):
-            zs, accs = [], []
-            for t in range(length):
-                states, a = transition(
-                    states, jax.random.split(keys_chunk[t], n_chains)
-                )
-                zs.append(states.z)
-                accs.append(a)
-            return states, jnp.stack(zs), jnp.stack(accs)
+        # eps / inv_mass are traced arguments rather than closure
+        # constants so repeated invocations lower to identical HLO and the
+        # persistent compile cache hits (closure constants would bake the
+        # adapted values into the program and force a fresh compile per
+        # run — prohibitive over the remote-tunnel backend).
+        def build():
+            def run(states, keys_chunk, eps, inv_mass):
+                zs, accs = [], []
+                for t in range(length):
+                    states, a = jax.vmap(
+                        lambda s, k: _hmc_transition(
+                            logp_grad_fn, s, k, eps, inv_mass, cfg
+                        )
+                    )(states, jax.random.split(keys_chunk[t], n_chains))
+                    zs.append(states.z)
+                    accs.append(a)
+                return states, jnp.stack(zs), jnp.stack(accs)
 
-        return jax.jit(run)
+            return run
+
+        return _cached_program(
+            logp_fn, ("sample", length, n_chains, cfg), build
+        )
 
     keys = jax.random.split(k3, cfg.num_samples)
     chunk_size = max(1, min(chunk_size, cfg.num_samples))
@@ -440,12 +490,14 @@ def sample_hmc_chunked(
     zs_parts, acc_parts = [], []
     for c in range(n_full):
         states, zs_c, acc_c = chunk_fn(
-            states, keys[c * chunk_size : (c + 1) * chunk_size]
+            states, keys[c * chunk_size : (c + 1) * chunk_size], eps2, inv_mass
         )
         zs_parts.append(zs_c)
         acc_parts.append(acc_c)
     if rem:
-        states, zs_c, acc_c = make_chunk_fn(rem)(states, keys[-rem:])
+        states, zs_c, acc_c = make_chunk_fn(rem)(
+            states, keys[-rem:], eps2, inv_mass
+        )
         zs_parts.append(zs_c)
         acc_parts.append(acc_c)
 
