@@ -84,25 +84,19 @@ def main():
     kernel = gpr_tpu.Gaussian(jnp.asarray(8.0, dtype), jnp.asarray(1.0, dtype))
     sigma = jnp.asarray(0.1, dtype)
 
-    from gpr_tpu.ops import pallas_gram
-
     def make_fit(repeats):
+        # times the PUBLIC training API (gpr_tpu.fit == gp.exact.fit):
+        # gram -> safe_cholesky (jitter-guarded) -> regression solve.
         @jax.jit
         def fit_step(X, Y, sigma):
             out = jnp.asarray(0.0, dtype)
             for _ in range(repeats):
                 # data dependence on `out` stops CSE across repetitions
                 Xr = X + out * 1e-30
-                if on_accel:
-                    K = pallas_gram.gram_pallas(
-                        Xr, Xr, kernel.sigma, kernel.scale
-                    ).astype(dtype)
-                else:
-                    K = kermod.gram(kernel, Xr)
-                K = linalg.add_diagonal(K, sigma**2)
-                L = linalg.chol_lower(K)
-                alpha = linalg.cho_solve(L, Y)
-                out = jnp.sum(L[-1]) + jnp.sum(alpha[-1])
+                gp = exact.fit(
+                    kernel, Xr, Y, sigma=sigma, use_pallas_gram=on_accel
+                )
+                out = jnp.sum(gp.L[-1]) + jnp.sum(gp.alpha[-1])
             return out
 
         return fit_step

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .hmc import ChainState, _window_schedule, init_chains
+from .hmc import ChainState, _adapt_phase, init_chains
 
 
 @dataclasses.dataclass(frozen=True)
@@ -273,73 +273,12 @@ def sample_nuts(
     def transition(s, k, e, im):
         return _nuts_transition(logp_grad_fn, s, k, e, im, cfg)
 
-    def warmup(states, key, eps0, inv_mass, n_steps):
-        mu = jnp.log(10.0 * eps0)
-        t0c, gamma, kappa = 10.0, 0.05, 0.75
-
-        def step_fn(carry, key_t):
-            states, log_eps, log_eps_bar, h_bar, t = carry
-            keys = jax.random.split(key_t, states.z.shape[0])
-            eps = jnp.exp(log_eps)
-            new_states, accept = jax.vmap(
-                lambda s, k: transition(s, k, eps, inv_mass)
-            )(states, keys)
-            mean_accept = jnp.mean(accept)
-            if cross_chain_mean is not None:
-                mean_accept = cross_chain_mean(mean_accept)
-            t = t + 1.0
-            eta_h = 1.0 / (t + t0c)
-            h_bar = (1 - eta_h) * h_bar + eta_h * (cfg.target_accept - mean_accept)
-            log_eps = mu - jnp.sqrt(t) / gamma * h_bar
-            log_eps = jnp.minimum(log_eps, jnp.log(cfg.max_step_size))
-            eta_x = t ** (-kappa)
-            log_eps_bar = eta_x * log_eps + (1 - eta_x) * log_eps_bar
-            return (new_states, log_eps, log_eps_bar, h_bar, t), (
-                new_states.z,
-                mean_accept,
-            )
-
-        keys = jax.random.split(key, n_steps)
-        init = (
-            states,
-            jnp.log(eps0),
-            jnp.log(eps0),
-            jnp.asarray(0.0, z0.dtype),
-            jnp.asarray(0.0, z0.dtype),
-        )
-        (states, _, log_eps_bar, _, _), (zs, _) = lax.scan(step_fn, init, keys)
-        return states, jnp.exp(log_eps_bar), zs
-
-    inv_mass = jnp.ones((dim,), z0.dtype)
-
-    def estimate_mass(zs):
-        flat = zs.reshape(-1, dim)
-        mean = jnp.mean(flat, axis=0)
-        var = jnp.mean((flat - mean) ** 2, axis=0)
-        if cross_chain_moments is not None:
-            mean, var = cross_chain_moments(mean, var)
-        w = flat.shape[0]
-        return (w / (w + 5.0)) * var + (5.0 / (w + 5.0)) * 1e-3
-
-    if cfg.windowed_warmup:
-        head, wins, tail_n = _window_schedule(cfg.num_warmup)
-        keys_w = jax.random.split(k1, len(wins) + 2)
-        states, eps, _ = warmup(
-            states, keys_w[0], jnp.asarray(cfg.initial_step_size, z0.dtype),
-            inv_mass, head,
-        )
-        for i, win in enumerate(wins):
-            states, eps, zs_w = warmup(states, keys_w[i + 1], eps, inv_mass, win)
-            inv_mass = estimate_mass(zs_w)
-        states, eps2, _ = warmup(states, keys_w[-1], eps, inv_mass, tail_n)
-    else:
-        n_w1 = max(cfg.num_warmup // 2, 1)
-        n_w2 = max(cfg.num_warmup - n_w1, 1)
-        states, eps1, zs1 = warmup(
-            states, k1, jnp.asarray(cfg.initial_step_size, z0.dtype), inv_mass, n_w1
-        )
-        inv_mass = estimate_mass(zs1[n_w1 // 2 :])
-        states, eps2, _ = warmup(states, k2, eps1, inv_mass, n_w2)
+    # warmup (dual-averaged step size, mass windows) is the SINGLE shared
+    # implementation in inference.hmc, parameterized by the transition
+    states, eps2, inv_mass = _adapt_phase(
+        logp_grad_fn, states, k1, k2, cfg, dim, z0.dtype,
+        cross_chain_mean, cross_chain_moments, transition=transition,
+    )
 
     def sample_step(states, key_t):
         keys = jax.random.split(key_t, n_chains)

@@ -44,9 +44,14 @@ def _logdet_bounds(dtype) -> Tuple[float, float]:
 
 
 def add_diagonal(A: jax.Array, value) -> jax.Array:
-    """A + value * I without materializing an identity matrix."""
+    """A + value * I without materializing an identity matrix.
+
+    ``value`` may be a scalar or batched (matching A's batch dims)."""
     n = A.shape[-1]
     idx = jnp.arange(n)
+    value = jnp.asarray(value)
+    if value.ndim:
+        value = value[..., None]  # broadcast batch values across the diagonal
     return A.at[..., idx, idx].add(value)
 
 
@@ -66,6 +71,71 @@ def chol_lower(A: jax.Array) -> jax.Array:
     return jnp.linalg.cholesky(A)
 
 
+def _mT(X: jax.Array) -> jax.Array:
+    return jnp.swapaxes(X, -1, -2)
+
+
+def _tri_solve(L: jax.Array, B: jax.Array, *, trans: bool) -> jax.Array:
+    """Solve ``L X = B`` (trans=False) or ``L^T X = B`` (trans=True) for
+    lower-triangular L, dispatching to the blocked solver for large 2D."""
+    if L.ndim == 2 and L.shape[0] >= _BLOCKED_MIN_N:
+        from .blocked import solve_triangular_blocked
+
+        if trans:
+            return solve_triangular_blocked(L.T, B, lower=False)
+        return solve_triangular_blocked(L, B, lower=True)
+    return jax.scipy.linalg.solve_triangular(L, B, lower=True, trans=1 if trans else 0)
+
+
+def _chol_pullback(L: jax.Array, Lbar: jax.Array) -> jax.Array:
+    """Reverse-mode pullback of the Cholesky map A -> L computed directly
+    from the factor (Murray 2016, "Differentiation of the Cholesky
+    decomposition"): Abar = L^{-T} phi(L^T Lbar) L^{-1} with phi = tril,
+    diagonal halved.  One GEMM + two triangular solves, matching the cost
+    of XLA's native rule while staying expressible with the blocked
+    solves for large n."""
+    from ..utils.config import matmul_precision
+
+    n = L.shape[-1]
+    M = jnp.matmul(_mT(L), jnp.tril(Lbar), precision=matmul_precision())
+    M = jnp.tril(M) * (1.0 - 0.5 * jnp.eye(n, dtype=L.dtype))
+    P = _tri_solve(L, M, trans=True)  # L^{-T} M
+    # P L^{-1} = (L^{-T} P^T)^T
+    Abar = _mT(_tri_solve(L, _mT(P), trans=True))
+    # XLA's native rule returns the symmetrized cotangent (the input is
+    # treated as symmetric); match it exactly
+    return 0.5 * (Abar + _mT(Abar))
+
+
+@jax.custom_vjp
+def _chol_attempt(A: jax.Array) -> jax.Array:
+    """One bare factorization attempt whose backward pass is NaN-safe.
+
+    XLA's native Cholesky VJP evaluated at a NaN primal produces NaN even
+    for a zero cotangent (0*NaN), which would poison gradients whenever the
+    escalation branch of :func:`safe_cholesky` is taken.  Here the pullback
+    is computed from the stored factor and masked to exactly zero when the
+    factorization failed."""
+    return chol_lower(A)
+
+
+def _chol_attempt_fwd(A):
+    L = chol_lower(A)
+    return L, L
+
+
+def _chol_attempt_bwd(L, Lbar):
+    ok = jnp.all(jnp.isfinite(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    n = L.shape[-1]
+    okb = ok[..., None, None]
+    Lsafe = jnp.where(okb, L, jnp.eye(n, dtype=L.dtype))
+    Abar = _chol_pullback(Lsafe, jnp.where(okb, Lbar, jnp.zeros_like(Lbar)))
+    return (jnp.where(okb, Abar, jnp.zeros_like(Abar)),)
+
+
+_chol_attempt.defvjp(_chol_attempt_fwd, _chol_attempt_bwd)
+
+
 def safe_cholesky(
     A: jax.Array,
     initial_jitter: float = 0.0,
@@ -80,39 +150,57 @@ def safe_cholesky(
 
     This replaces the reference's strategy of falling back between LAPACK LU
     / Cholesky / SVD / eigendecomposition (lib/GaussianProcess.cpp:530-618).
+
+    The success path executes exactly ONE Cholesky: the factor of bare ``A``
+    is checked via its diagonal (a failed pivot propagates NaN to every
+    later diagonal entry) and returned directly when finite.  Only on
+    failure does a ``lax.cond`` branch enter the jitter-escalation loop (on
+    ``stop_gradient`` values, so the while_loop never carries tangents —
+    reverse-mode AD through while_loop is unsupported; the chosen jitter is
+    piecewise-constant in A and correctly treated as a constant by AD)
+    followed by one differentiable re-factorization.
     """
     dtype = A.dtype
     eps = jnp.finfo(dtype).eps
 
-    # --- phase 1: pick the jitter on stop-gradient values -------------------
-    # The escalation loop runs on a non-differentiated copy of A, so the
-    # while_loop never carries tangents (reverse-mode AD through while_loop
-    # is unsupported); the chosen jitter is piecewise-constant in A and
-    # correctly treated as a constant by AD.
+    def _diag_ok(L):
+        # NaN/inf from a failed pivot reaches all subsequent diagonal
+        # entries, so the O(n) diagonal check detects failure without a
+        # full O(n^2) HBM pass over L.
+        return jnp.all(jnp.isfinite(jnp.diagonal(L, axis1=-2, axis2=-1)))
+
+    # --- one factorization attempt; this is the whole success path ----------
+    L0 = _chol_attempt(A)
+    ok0 = _diag_ok(L0)
+
     A_ng = lax.stop_gradient(A)
     diag_mean = jnp.mean(jnp.abs(jnp.diagonal(A_ng, axis1=-2, axis2=-1)), axis=-1)
     base = jnp.where(initial_jitter > 0, initial_jitter, eps * jnp.maximum(diag_mean, 1.0))
 
-    def ok_at(j):
-        L = chol_lower(add_diagonal(A_ng, j))
-        return jnp.all(jnp.isfinite(L))
+    def _accept(_):
+        return L0, jnp.zeros_like(base)
 
-    def cond(state):
-        ok, tries, _ = state
-        return jnp.logical_and(jnp.logical_not(ok), tries < max_tries)
+    def _escalate(_):
+        def cond(state):
+            ok, tries, _ = state
+            return jnp.logical_and(jnp.logical_not(ok), tries < max_tries)
 
-    def body(state):
-        _, tries, j = state
-        jnew = jnp.where(tries == 0, j, j * 10.0)
-        return ok_at(jnew), tries + 1, jnew
+        def body(state):
+            _, tries, j = state
+            jnew = jnp.where(tries == 0, j, j * 10.0)
+            ok = _diag_ok(chol_lower(add_diagonal(A_ng, jnew)))
+            return ok, tries + 1, jnew
 
-    ok0 = ok_at(jnp.zeros_like(base))
-    _, _, j = lax.while_loop(cond, body, (ok0, jnp.array(0), base))
-    jitter_used = jnp.where(ok0, jnp.zeros_like(j), j)
+        # init `ok` from ok0 (False in this branch) rather than a fresh
+        # constant: under shard_map a constant carry is axis-UNvarying while
+        # the body output varies over the manual axes, which while_loop
+        # rejects — deriving it from ok0 keeps the varying-axes type stable.
+        _, _, j = lax.while_loop(
+            cond, body, (jnp.logical_and(ok0, False), jnp.array(0), base)
+        )
+        return chol_lower(add_diagonal(A, j)), j
 
-    # --- phase 2: one differentiable factorization --------------------------
-    L = chol_lower(add_diagonal(A, jitter_used))
-    return L, jitter_used
+    return lax.cond(ok0, _accept, _escalate, operand=None)
 
 
 def cho_solve(L: jax.Array, b: jax.Array) -> jax.Array:
