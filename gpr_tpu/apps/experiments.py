@@ -38,6 +38,31 @@ def run_experiment(config_path: str) -> int:
     exe = cfg.get("exe", {})
     root = general.get("root_dir", os.path.dirname(os.path.abspath(config_path)))
 
+    # --- preprocessing: DICOM rename/fix/sort (reference main.py:77-113) ---
+    if opt.get("preprocessing"):
+        from ..data.dicom import preprocess_dicom_dir
+
+        print("PREPROCESSING DATA FILES...")
+        data_in = os.path.join(root, general.get("data_dir", "data"))
+        if not os.path.exists(data_in):
+            print("Path to data files does not exist.")
+            return -1
+        preprocess_dicom_dir(
+            data_in,
+            data_in + "_mod",
+            n_slices=int(general.get("n_slices", 0)),
+            is_navi=False,
+        )
+        print("[done]")
+        if general.get("surrogate_type", 0) in (0, 2):
+            print("PREPROCESSING NAVIS...")
+            navi_in = os.path.join(root, general.get("navi_dir", "navi"))
+            if not os.path.exists(navi_in):
+                print("Path to navigators does not exist.")
+                return -1
+            preprocess_dicom_dir(navi_in, navi_in + "_mod", is_navi=True)
+            print("[done]")
+
     # --- external preprocessing stages (process boundary preserved) --------
     for stage, flag in (
         ("registration_2d", "registration_2d"),
@@ -55,6 +80,28 @@ def run_experiment(config_path: str) -> int:
     # --- GP regression (in-process) ----------------------------------------
     reg_dir = os.path.join(root, general.get("registration_dir", "reg3d"))
     surrogate_dir = os.path.join(root, general.get("surrogate_dir", "us"))
+
+    # --- splitting: sweep-count train/test split (main.py:217-263) ---------
+    if opt.get("splitting_data") or (
+        (opt.get("registration_2d") or opt.get("registration_3d"))
+        and opt.get("regression")
+    ):
+        from ..data.prep import split_train_test
+
+        print("SPLITTING...")
+        n_slices = int(general.get("n_slices", 1))
+        n_training_imgs = int(general.get("n_training_sweeps", 0)) * n_slices
+        counts = split_train_test(
+            {"surrogate": surrogate_dir, "dfs": reg_dir},
+            n_training_imgs,
+            {
+                "surrogate": general.get("input_format", "png"),
+                "dfs": general.get("output_format", "vtk"),
+            },
+        )
+        for name, (n_tr, n_te) in counts.items():
+            print(f"Splitting {name}: {n_tr} train / {n_te} test")
+        print("[done]")
     subdir = cfg.get("gpr_model", {}).get("subdir", "test")
     gpr_dir = os.path.join(reg_dir, "gpr")
     gpr_prefix = os.path.join(gpr_dir, "gpr")

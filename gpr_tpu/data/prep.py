@@ -211,17 +211,52 @@ def check_synchro(us_dir: str, dvf_dir: str, factor: int = 1) -> bool:
     return n_us == factor * n_dvf
 
 
-def load_dicom_series(path: str):
-    """DICOM ingestion requires pydicom (reference
-    scripts/data/dicom_loader.py); not shipped in this image."""
-    try:
-        import pydicom  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "DICOM preprocessing needs pydicom; install it or convert the "
-            "series to MHA/VTK with an external tool first."
-        ) from e
-    raise NotImplementedError  # pragma: no cover
+def split_train_test(
+    dirs: "dict[str, str]",
+    n_training_imgs: int,
+    formats: "dict[str, str]",
+) -> "dict[str, tuple[int, int]]":
+    """Sweep-count train/test split of the experiment data dirs (reference
+    scripts/main.py:217-263, the ``splitting_data`` stage): for each named
+    directory, files with its format extension are sorted, the first
+    ``n_training_imgs`` copied to ``<dir>/train/%05d.<fmt>`` and the rest
+    to ``<dir>/test/%05d.<fmt>`` (both emptied first).  Returns
+    {name: (n_train, n_test)}."""
+    counts = {}
+    for name, current_dir in dirs.items():
+        fmt = formats[name]
+        files = sorted(
+            os.path.join(current_dir, f)
+            for f in os.listdir(current_dir)
+            if f.endswith(fmt) and os.path.isfile(os.path.join(current_dir, f))
+        )
+        train_dir = os.path.join(current_dir, "train")
+        test_dir = os.path.join(current_dir, "test")
+        for d in (train_dir, test_dir):
+            _empty_dir(d)
+        for itr, f in enumerate(files[:n_training_imgs]):
+            shutil.copyfile(f, os.path.join(train_dir, ("%05d." % itr) + fmt))
+        for itr, f in enumerate(files[n_training_imgs:]):
+            shutil.copyfile(f, os.path.join(test_dir, ("%05d." % itr) + fmt))
+        counts[name] = (
+            len(os.listdir(train_dir)),
+            len(os.listdir(test_dir)),
+        )
+    return counts
+
+
+def load_dicom_series(
+    input_dir: str, output_dir: str, n_slices: int = 0, is_navi: bool = False
+):
+    """DICOM ingestion (reference scripts/data/dicom_loader.py:17-60):
+    rename by InstanceNumber, fix navigator slice spacing, sort data
+    slices into per-position sweep folders.  Uses pydicom when installed,
+    else the built-in explicit-VR reader — see :mod:`gpr_tpu.data.dicom`."""
+    from .dicom import preprocess_dicom_dir
+
+    return preprocess_dicom_dir(
+        input_dir, output_dir, n_slices=n_slices, is_navi=is_navi
+    )
 
 
 def read_us_video(path: str, dest_dir: str):

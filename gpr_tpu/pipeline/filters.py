@@ -1,0 +1,360 @@
+"""Image-filter helpers: the itkUtils filter families re-designed in JAX.
+
+Covers the reference's remaining itkUtils.h surface (the warp/magnitude and
+IO families live in ``pipeline.warp`` / ``pipeline.imageio``):
+
+==========================  ==================================================
+This module                 Reference (include/itkUtils.h)
+==========================  ==================================================
+gaussian_smoothing          GaussianSmoothing (:918-931, DiscreteGaussian)
+image_variance              ImageVariance (:933-973, G(I^2) - mean^2)
+mean_filter                 itkMeanImageFilter include (:26; no wrapper fn)
+image_pyramid               GetImagePyramideImage (:176-198)
+image_pyramid_series        GetImagePyramideImageSeries (:285-383)
+pyramid_schedule            RecursiveMultiResolutionPyramid default schedule
+median_filter               MedianFilterImage (:1043-1055)
+histogram_matching          HistogramMatching (:1057-1070)
+threshold_below             ThresholdImage(image, threshold) (:81-91)
+threshold_window            ThresholdImage(image, max, min) (:975-1041)
+rescale_intensity           RescaleImage (:702-713)
+shrink_image                ShrinkImage (:715-726)
+invert_image                InvertImage (:728-744)
+round_image                 RoundImage (:71-79)
+normalize_image             itkNormalizeImageFilter include (:31)
+multiply_images             MultiplyImages (:975 region)
+subtract_images             SubtractImages
+multiply_constant           MultiplyConstant
+accumulate_image            AccumulateImage (:1072-1081)
+abs_difference              itkAbsoluteValueDifferenceImageFilter include
+get_target_image_from_series GetTargetImageFromImageSeries (:116-174)
+shuffle_image_data          ShuffleImageData (:665-698)
+==========================  ==================================================
+
+Design notes (TPU-first, not an ITK translation):
+
+* Images are plain arrays; 2D spatial = (rows, cols) = (y, x), series =
+  (t, y, x).  The reference's ``factorX``/``startX`` arguments refer to
+  the FIRST itk dimension = x = the LAST array axis here; parameter names
+  keep the reference meaning and docstrings state the axis mapping.
+* Everything is jittable with static filter parameters (radius, variance,
+  factors are Python numbers — they size the compiled program).
+* Boundaries use zero-flux Neumann (edge replication), ITK's default.
+* ``gaussian_smoothing`` uses a sampled (truncated) Gaussian kernel rather
+  than ITK's discrete (Bessel-weighted) Gaussian — identical to scipy's
+  ``gaussian_filter``; the difference is O(1e-3) relative for sigma >= 1
+  and irrelevant for the pipelines (blur_us, pyramids) that consume it.
+* The separable convolutions are expressed as small GEMM-able contractions
+  (a (W, 2r+1) patch matrix times the kernel) so XLA can fuse and the
+  VPU/MXU stays busy for large series.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# separable Gaussian smoothing
+# ---------------------------------------------------------------------------
+
+def _gaussian_kernel1d(variance: float, spacing: float = 1.0,
+                       max_kernel_width: int = 64) -> np.ndarray:
+    """Sampled, normalized 1-D Gaussian with ITK's width cap (the reference
+    sets SetMaximumKernelWidth(64) and SetUseImageSpacing(true); variance is
+    in physical units, converted to pixels via ``spacing``)."""
+    var_pix = float(variance) / float(spacing) ** 2
+    sigma = math.sqrt(max(var_pix, 1e-12))
+    radius = int(min(max(1, math.ceil(4.0 * sigma)), max_kernel_width // 2))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _convolve_along(img: jax.Array, kernel: np.ndarray, axis: int) -> jax.Array:
+    """Edge-padded 'same' convolution along one axis (zero-flux Neumann)."""
+    k = jnp.asarray(kernel, img.dtype)
+    r = (k.shape[0] - 1) // 2
+    img = jnp.moveaxis(img, axis, -1)
+    pad = [(0, 0)] * (img.ndim - 1) + [(r, r)]
+    padded = jnp.pad(img, pad, mode="edge")
+    n = img.shape[-1]
+    # (…, n, 2r+1) patch view via gather of static slices, contracted with
+    # the kernel — fuses into one pass, no explicit conv primitive needed
+    patches = jnp.stack([padded[..., i : i + n] for i in range(2 * r + 1)], axis=-1)
+    out = jnp.einsum("...nk,k->...n", patches, k)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def gaussian_smoothing(
+    img: jax.Array,
+    variance: float,
+    spacing: Sequence[float] | None = None,
+    max_kernel_width: int = 64,
+    axes: Sequence[int] | None = None,
+) -> jax.Array:
+    """Separable Gaussian blur (reference itkUtils.h:918-931
+    ``GaussianSmoothing``: DiscreteGaussianImageFilter with
+    SetVariance(sigma) — note the reference passes its ``sigma`` argument
+    as a VARIANCE, and so does this function).
+
+    ``axes`` selects the smoothed axes (default: all); pass ``(1, 2)`` to
+    blur a (t, y, x) series slice-wise."""
+    img = jnp.asarray(img)
+    if axes is None:
+        axes = tuple(range(img.ndim))
+    if spacing is None:
+        spacing = [1.0] * len(axes)
+    out = img
+    for ax, sp in zip(axes, spacing):
+        out = _convolve_along(out, _gaussian_kernel1d(variance, sp, max_kernel_width), ax)
+    return out
+
+
+def mean_filter(img: jax.Array, radius: int, axes: Sequence[int] | None = None) -> jax.Array:
+    """Box mean of half-width ``radius`` (itkMeanImageFilter — included by
+    the reference at itkUtils.h:26 without a named wrapper; provided for
+    family completeness).  Separable box kernel, edge-replicated."""
+    if radius <= 0:
+        return jnp.asarray(img)
+    k = np.full((2 * radius + 1,), 1.0 / (2 * radius + 1), np.float64)
+    img = jnp.asarray(img)
+    if axes is None:
+        axes = tuple(range(img.ndim))
+    out = img
+    for ax in axes:
+        out = _convolve_along(out, k, ax)
+    return out
+
+
+def image_variance(img: jax.Array, variance: float, mean: jax.Array,
+                   **smooth_kwargs) -> jax.Array:
+    """Local variance estimate G(I^2) - mean^2 (reference itkUtils.h:933-973
+    ``ImageVariance``: Square -> DiscreteGaussian -> Subtract mean^2)."""
+    return gaussian_smoothing(jnp.asarray(img) ** 2, variance, **smooth_kwargs) - jnp.asarray(mean) ** 2
+
+
+# ---------------------------------------------------------------------------
+# multi-resolution pyramids
+# ---------------------------------------------------------------------------
+
+def pyramid_schedule(num_scales: int) -> List[int]:
+    """Per-level shrink factors, coarsest first: [2^(s-1), ..., 2, 1]
+    (itk::RecursiveMultiResolutionPyramidImageFilter's default schedule)."""
+    return [2 ** (num_scales - 1 - i) for i in range(num_scales)]
+
+
+def _downsample2(img: jax.Array, axes: Tuple[int, ...]) -> jax.Array:
+    """Smooth (variance = 1 = (factor/2)^2 for factor 2) then take every
+    second sample along ``axes`` — one recursive pyramid step."""
+    out = gaussian_smoothing(img, 1.0, axes=axes)
+    for ax in axes:
+        idx = [slice(None)] * out.ndim
+        idx[ax] = slice(0, None, 2)
+        out = out[tuple(idx)]
+    return out
+
+
+def image_pyramid(img: jax.Array, num_scales: int) -> List[jax.Array]:
+    """Recursive multi-resolution pyramid of a single image, coarsest level
+    first (reference itkUtils.h:176-198 ``GetImagePyramideImage``).  Level
+    i has shrink factor ``pyramid_schedule(num_scales)[i]``; each level is
+    produced from the finer one by Gaussian smoothing (variance
+    (factor/2)^2 = 1 for the per-step factor 2) + decimation."""
+    img = jnp.asarray(img)
+    levels = [img]
+    for _ in range(num_scales - 1):
+        levels.append(_downsample2(levels[-1], tuple(range(img.ndim))))
+    return levels[::-1]
+
+
+def image_pyramid_series(series: jax.Array, num_scales: int) -> List[jax.Array]:
+    """Slice-wise 2-D pyramid of a (t, y, x) series, coarsest first; the
+    time extent is preserved at every level (reference itkUtils.h:285-383
+    ``GetImagePyramideImageSeries``: each 2-D slice is pyramided and the
+    slices are re-joined into a 3-D volume per scale)."""
+    series = jnp.asarray(series)
+    levels = [series]
+    for _ in range(num_scales - 1):
+        levels.append(_downsample2(levels[-1], (1, 2)))
+    return levels[::-1]
+
+
+def get_target_image_from_series(series: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Pick the slice whose mean is closest to the series' overall mean
+    and tile it across time (reference itkUtils.h:116-174
+    ``GetTargetImageFromImageSeries``).  Returns (tiled_series, index)."""
+    series = jnp.asarray(series)
+    t = series.shape[0]
+    means = jnp.mean(series.reshape(t, -1), axis=1)
+    overall = jnp.mean(means)
+    idx = jnp.argmin(jnp.abs(means - overall))
+    return jnp.broadcast_to(series[idx][None], series.shape), idx
+
+
+def shuffle_image_data(series: jax.Array, index: Sequence[int]) -> jax.Array:
+    """Scatter time slices: out[index[z]] = series[z] (reference
+    itkUtils.h:665-698 ``ShuffleImageData`` — note the reference writes TO
+    ``index[z]``, it does not gather from it)."""
+    series = jnp.asarray(series)
+    return jnp.zeros_like(series).at[jnp.asarray(list(index))].set(series)
+
+
+# ---------------------------------------------------------------------------
+# rank / histogram filters
+# ---------------------------------------------------------------------------
+
+def median_filter(img: jax.Array, radius: int) -> jax.Array:
+    """Box median of half-width ``radius`` over ALL axes (reference
+    itkUtils.h:1043-1055 ``MedianFilterImage``; radius <= 0 returns the
+    input unchanged, like the reference).  Edge-replicated boundary.  The
+    (2r+1)^d neighborhood is materialized as a stacked axis and reduced
+    with a single sort — static shapes, fully jittable."""
+    img = jnp.asarray(img)
+    if radius <= 0:
+        return img
+    pad = [(radius, radius)] * img.ndim
+    padded = jnp.pad(img, pad, mode="edge")
+    shape = img.shape
+    stack = []
+    for offs in np.ndindex(*([2 * radius + 1] * img.ndim)):
+        idx = tuple(slice(o, o + s) for o, s in zip(offs, shape))
+        stack.append(padded[idx])
+    return jnp.median(jnp.stack(stack, axis=0), axis=0)
+
+
+def histogram_matching(
+    img: jax.Array,
+    reference: jax.Array,
+    levels: int = 1024,
+    match_points: int = 7,
+) -> jax.Array:
+    """Map the intensity distribution of ``img`` onto ``reference``
+    (reference itkUtils.h:1057-1070 ``HistogramMatching``:
+    HistogramMatchingImageFilter, ThresholdAtMeanIntensityOff).
+
+    Re-derivation: quantile values of source and reference are computed at
+    ``match_points + 2`` equispaced fractions (from ``levels``-bin
+    histograms, matching the filter's quantization) and the image is
+    mapped through the piecewise-linear function source-quantile ->
+    reference-quantile."""
+    img = jnp.asarray(img)
+    reference = jnp.asarray(reference)
+    fracs = jnp.linspace(0.0, 1.0, match_points + 2)
+
+    def _quantiles(x):
+        # histogram-quantized quantiles, mirroring the filter's
+        # NumberOfHistogramLevels discretization
+        lo, hi = jnp.min(x), jnp.max(x)
+        edges = jnp.linspace(lo, hi, levels + 1)
+        counts = jnp.histogram(x.reshape(-1), bins=edges)[0]
+        cdf = jnp.cumsum(counts) / jnp.sum(counts)
+        centers = 0.5 * (edges[:-1] + edges[1:])
+        xp = jnp.concatenate([jnp.zeros((1,)), cdf])
+        fp = jnp.concatenate([lo[None], centers])
+        return jnp.interp(fracs, xp, fp)
+
+    src_q = _quantiles(img)
+    ref_q = _quantiles(reference)
+    # enforce monotone nodes (flat histograms can produce ties)
+    src_q = jax.lax.cummax(src_q)
+    out = jnp.interp(img.reshape(-1), src_q, ref_q)
+    return out.reshape(img.shape).astype(img.dtype)
+
+
+# ---------------------------------------------------------------------------
+# pointwise / intensity filters
+# ---------------------------------------------------------------------------
+
+def threshold_below(img: jax.Array, threshold) -> jax.Array:
+    """Zero out values below ``threshold`` (reference itkUtils.h:81-91:
+    ThresholdImageFilter, ThresholdBelow, outside value 0)."""
+    img = jnp.asarray(img)
+    return jnp.where(img < threshold, jnp.zeros((), img.dtype), img)
+
+
+def threshold_window(img: jax.Array, thresh_max, thresh_min) -> jax.Array:
+    """Clamp to the data-derived window [min value above ``thresh_min``,
+    max value below ``thresh_max``] (reference itkUtils.h:975-1041
+    ``ThresholdImage(image, max, min)``: two ThresholdImageFilter passes
+    whose net effect is exactly this clamp — values above the window take
+    the largest in-window value, values below take the smallest)."""
+    img = jnp.asarray(img)
+    neg_inf = jnp.asarray(-jnp.inf, img.dtype)
+    pos_inf = jnp.asarray(jnp.inf, img.dtype)
+    max_below = jnp.max(jnp.where(img < thresh_max, img, neg_inf))
+    min_above = jnp.min(jnp.where(img > thresh_min, img, pos_inf))
+    return jnp.clip(img, min_above, max_below)
+
+
+def rescale_intensity(img: jax.Array, out_min, out_max) -> jax.Array:
+    """Affine map of [min, max] onto [out_min, out_max] (reference
+    itkUtils.h:702-713 ``RescaleImage``)."""
+    img = jnp.asarray(img)
+    lo, hi = jnp.min(img), jnp.max(img)
+    scale = (out_max - out_min) / jnp.maximum(hi - lo, jnp.finfo(img.dtype).tiny)
+    return (img - lo) * scale + out_min
+
+
+def shrink_image(img: jax.Array, factor_x: int, factor_y: int) -> jax.Array:
+    """Integer decimation without smoothing (reference itkUtils.h:715-726
+    ``ShrinkImage``: ShrinkImageFilter).  ``factor_x`` is the FIRST itk
+    dimension = the LAST array axis of a (y, x) image; samples are taken
+    at offset (factor-1)//2, itk's centering convention."""
+    img = jnp.asarray(img)
+    oy, ox = (factor_y - 1) // 2, (factor_x - 1) // 2
+    return img[..., oy::factor_y, ox::factor_x]
+
+
+def invert_image(img: jax.Array) -> jax.Array:
+    """max(img) - img (reference itkUtils.h:728-744 ``InvertImage``:
+    InvertIntensityImageFilter with Maximum = image max)."""
+    img = jnp.asarray(img)
+    return jnp.max(img) - img
+
+
+def round_image(img: jax.Array) -> jax.Array:
+    """Round to nearest integer (reference itkUtils.h:71-79 ``RoundImage``;
+    halfway cases round half-to-even here vs itk::Math::Round's half-up —
+    exact for every non-halfway value)."""
+    return jnp.round(jnp.asarray(img))
+
+
+def normalize_image(img: jax.Array) -> jax.Array:
+    """Zero-mean unit-variance normalization (itkNormalizeImageFilter —
+    included by the reference at itkUtils.h:31 without a named wrapper)."""
+    img = jnp.asarray(img)
+    mu = jnp.mean(img)
+    sd = jnp.std(img)
+    return (img - mu) / jnp.maximum(sd, jnp.finfo(img.dtype).tiny)
+
+
+def multiply_images(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Reference ``MultiplyImages`` (itkUtils.h MultiplyImageFilter)."""
+    return jnp.asarray(a) * jnp.asarray(b)
+
+
+def subtract_images(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Reference ``SubtractImages`` (SubtractImageFilter)."""
+    return jnp.asarray(a) - jnp.asarray(b)
+
+
+def multiply_constant(img: jax.Array, constant) -> jax.Array:
+    """Reference ``MultiplyConstant`` (MultiplyImageFilter, SetConstant)."""
+    return jnp.asarray(img) * constant
+
+
+def abs_difference(a: jax.Array, b: jax.Array) -> jax.Array:
+    """|a - b| (itkAbsoluteValueDifferenceImageFilter — included by the
+    reference at itkUtils.h:25 without a named wrapper)."""
+    return jnp.abs(jnp.asarray(a) - jnp.asarray(b))
+
+
+def accumulate_image(img: jax.Array) -> jax.Array:
+    """Sum of all pixels (reference itkUtils.h:1072-1081
+    ``AccumulateImage``)."""
+    return jnp.sum(jnp.asarray(img))

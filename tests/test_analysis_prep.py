@@ -131,9 +131,18 @@ class TestPrep:
         assert len(os.listdir(ct / "validation")) == 2
         assert len(os.listdir(ct / "test")) == 0  # no CT for test
 
-    def test_dicom_gated(self):
-        with pytest.raises((ImportError, NotImplementedError)):
-            prep.load_dicom_series("/nonexistent")
+    def test_dicom_delegates(self, tmp_path):
+        """prep.load_dicom_series is the dicom-module ingestion (reference
+        scripts/data/dicom_loader.py:17-60), no longer a gated raise."""
+        from gpr_tpu.data import dicom
+
+        src = tmp_path / "in"
+        src.mkdir()
+        for i in range(4):
+            dicom.write_minimal_dicom(str(src / f"f{i}.dcm"), i + 1)
+        out = prep.load_dicom_series(str(src), str(tmp_path / "out"), n_slices=2)
+        assert len(out) == 4
+        assert (tmp_path / "out" / "sorted" / "slice01").is_dir()
 
 
 class TestCliReturnCodes:
