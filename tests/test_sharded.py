@@ -104,6 +104,72 @@ class TestShardedNUTS:
         np.testing.assert_allclose(s.std(0), [1, 1], atol=0.25)
 
 
+class TestShardedChunked:
+    """Chunked sampling composed with sharded chains (VERDICT r1 weak #4):
+    the python chunk loop stays at host level; each jitted chunk program is
+    shard_mapped over the mesh."""
+
+    def test_matches_single_device_chunked(self):
+        """Sharded-chunked draws must BITWISE match the single-device
+        chunked sampler: per-chain keys are sliced from the same global key
+        set, warmup draws return as global arrays (host-level mass
+        estimation over all chains), and the acceptance statistic is the
+        flat mean over the all-gathered global accept vector."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from gpr_tpu.inference.hmc import HMCConfig, sample_hmc_chunked
+        from gpr_tpu.parallel.sharded_hmc import (
+            default_mesh as chains_mesh,
+            sample_hmc_sharded_chunked,
+        )
+
+        logp = lambda z: -0.5 * jnp.sum(z * z)
+        cfg = HMCConfig(num_warmup=60, num_samples=40, num_leapfrog=8)
+        z0 = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+        key = jax.random.PRNGKey(1)
+
+        ref = sample_hmc_chunked(logp, z0, key, cfg, chunk_size=16)
+        for n_dev in (4, 8):
+            res = sample_hmc_sharded_chunked(
+                logp, z0, key, cfg, chunk_size=16, mesh=chains_mesh(n_dev)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(res.samples), np.asarray(ref.samples)
+            )
+            assert float(res.step_size) == float(ref.step_size)
+            np.testing.assert_array_equal(
+                np.asarray(res.inv_mass), np.asarray(ref.inv_mass)
+            )
+
+    def test_windowed_warmup_and_remainder_chunks(self):
+        """Windowed warmup (Stan-style expanding windows) and a chunk size
+        that doesn't divide the stage lengths exercise the remainder chunk
+        programs under shard_map."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from gpr_tpu.inference.hmc import HMCConfig, sample_hmc_chunked
+        from gpr_tpu.parallel.sharded_hmc import (
+            default_mesh as chains_mesh,
+            sample_hmc_sharded_chunked,
+        )
+
+        logp = lambda z: -0.5 * jnp.sum(z * z)
+        cfg = HMCConfig(
+            num_warmup=45, num_samples=23, num_leapfrog=4,
+            windowed_warmup=True,
+        )
+        z0 = jax.random.normal(jax.random.PRNGKey(3), (16, 3))
+        key = jax.random.PRNGKey(4)
+        ref = sample_hmc_chunked(logp, z0, key, cfg, chunk_size=10)
+        res = sample_hmc_sharded_chunked(
+            logp, z0, key, cfg, chunk_size=10, mesh=chains_mesh(8)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.samples), np.asarray(ref.samples)
+        )
+        assert float(res.step_size) == float(ref.step_size)
+
+
 class TestDeterminism:
     def test_sharded_hmc_reproducible(self):
         """Fixed PRNG keys -> bitwise-identical sharded chains across runs
