@@ -33,6 +33,12 @@ TAG_SERIES_NUMBER = (0x0020, 0x0011)  # IS
 TAG_ACQUISITION_NUMBER = (0x0020, 0x0012)  # IS
 TAG_INSTANCE_NUMBER = (0x0020, 0x0013)  # IS
 TAG_IMAGE_COMMENTS = (0x0020, 0x4000)  # LT
+TAG_SAMPLES_PER_PIXEL = (0x0028, 0x0002)  # US
+TAG_NUMBER_OF_FRAMES = (0x0028, 0x0008)  # IS
+TAG_ROWS = (0x0028, 0x0010)  # US
+TAG_COLUMNS = (0x0028, 0x0011)  # US
+TAG_BITS_ALLOCATED = (0x0028, 0x0100)  # US
+TAG_PIXEL_DATA = (0x7FE0, 0x0010)  # OW/OB
 
 # VRs whose explicit-VR encoding uses a 2-byte reserved field + 32-bit length
 _LONG_VRS = {b"OB", b"OW", b"OF", b"OD", b"OL", b"SQ", b"UC", b"UR", b"UT", b"UN"}
@@ -317,6 +323,76 @@ def create_filestructure(src_dir: str, dest_dir: str) -> Dict[str, float]:
     return params
 
 
+def read_pixel_array(path: str):
+    """Decode the pixel data of an uncompressed DICOM file to a numpy
+    array: (frames, rows, cols) when NumberOfFrames > 1, else (rows,
+    cols).  pydicom's decoder is used when installed; the fallback handles
+    the 8/16-bit little-endian grayscale layouts ultrasound scanners emit."""
+    import numpy as np
+
+    if _have_pydicom():
+        import pydicom
+
+        return pydicom.dcmread(path).pixel_array
+    ds = MiniDicom.read(path)
+    rows = ds.get(TAG_ROWS)
+    cols = ds.get(TAG_COLUMNS)
+    bits = ds.get(TAG_BITS_ALLOCATED, 8)
+    spp = ds.get(TAG_SAMPLES_PER_PIXEL, 1)
+    frames = int(ds.get(TAG_NUMBER_OF_FRAMES, 1) or 1)
+    el = ds._index.get(TAG_PIXEL_DATA)
+    if el is None or rows is None or cols is None:
+        raise ValueError(f"{path}: no decodable pixel data")
+    dtype = {8: np.uint8, 16: np.uint16}.get(bits)
+    if dtype is None:
+        raise ValueError(f"{path}: unsupported BitsAllocated={bits}")
+    arr = np.frombuffer(el.value, dtype=np.dtype(dtype).newbyteorder("<"))
+    shape = [rows, cols] if spp == 1 else [rows, cols, spp]
+    if frames > 1:
+        shape = [frames] + shape
+    n = int(np.prod(shape))
+    return arr[:n].reshape(shape)
+
+
+def us_video_to_vtk(src_dir: str, dest_dir: str) -> int:
+    """Convert a directory of ultrasound DICOM frames to
+    ``video_<InstanceNumber>.vtk`` images (reference
+    scripts/read_us_video.py — pydicom + SimpleITK there; here the
+    built-in DICOM reader + pipeline.imageio, so it runs without either).
+    Returns the number of frames written."""
+    import numpy as np
+
+    from ..pipeline import imageio
+
+    os.makedirs(dest_dir, exist_ok=True)
+    files = sorted(
+        os.path.join(src_dir, f)
+        for f in os.listdir(src_dir)
+        if os.path.isfile(os.path.join(src_dir, f))
+    )
+    count = 0
+    for path in files:
+        ds = _Dataset(path)
+        instance = ds.get(TAG_INSTANCE_NUMBER, count)
+        frame = np.asarray(read_pixel_array(path), dtype=np.float64)
+        if frame.ndim == 3 and frame.shape[-1] in (3, 4):  # RGB(A) -> gray
+            frame = frame[..., :3].mean(axis=-1)
+        if frame.ndim == 3:  # multi-frame: write each
+            for k in range(frame.shape[0]):
+                imageio.write_image(
+                    imageio.Image(frame[k], (1, 1), (0, 0)),
+                    os.path.join(dest_dir, f"video_{instance}_{k}.vtk"),
+                )
+                count += 1
+            continue
+        imageio.write_image(
+            imageio.Image(frame, (1, 1), (0, 0)),
+            os.path.join(dest_dir, f"video_{instance}.vtk"),
+        )
+        count += 1
+    return count
+
+
 def write_minimal_dicom(
     path: str,
     instance_number: int,
@@ -326,10 +402,15 @@ def write_minimal_dicom(
     acquisition_number: int = 1,
     spacing_between_slices: float = 1.0,
     image_comments: str = "",
+    pixel_data=None,
 ) -> None:
-    """Emit a minimal explicit-VR little-endian DICOM file carrying the six
+    """Emit a minimal explicit-VR little-endian DICOM file carrying the
     tags the ingestion pipeline reads.  Test/demo helper (the reference has
-    no equivalent — its tests use scanner data that cannot ship here)."""
+    no equivalent — its tests use scanner data that cannot ship here).
+
+    ``pixel_data``: optional uint8/uint16 (rows, cols) array stored as an
+    uncompressed PixelData element (for exercising
+    :func:`read_pixel_array` / :func:`us_video_to_vtk`)."""
 
     def el(tag, vr: bytes, text: str) -> _Element:
         return _Element(tag, vr, text.encode("ascii"))
@@ -343,5 +424,24 @@ def write_minimal_dicom(
     ]
     if image_comments:
         elements.append(el(TAG_IMAGE_COMMENTS, b"LT", image_comments))
+    if pixel_data is not None:
+        import numpy as np
+        import struct as _struct
+
+        arr = np.ascontiguousarray(pixel_data)
+        if arr.dtype not in (np.uint8, np.uint16):
+            raise ValueError("pixel_data must be uint8 or uint16")
+        bits = arr.dtype.itemsize * 8
+        elements += [
+            _Element(TAG_SAMPLES_PER_PIXEL, b"US", _struct.pack("<H", 1)),
+            _Element(TAG_ROWS, b"US", _struct.pack("<H", arr.shape[0])),
+            _Element(TAG_COLUMNS, b"US", _struct.pack("<H", arr.shape[1])),
+            _Element(TAG_BITS_ALLOCATED, b"US", _struct.pack("<H", bits)),
+            _Element(
+                TAG_PIXEL_DATA,
+                b"OW" if bits == 16 else b"OB",
+                arr.astype(arr.dtype.newbyteorder("<")).tobytes(),
+            ),
+        ]
     elements.sort(key=lambda e: e.tag)
     MiniDicom(b"\x00" * 128 + b"DICM", elements).write(path)

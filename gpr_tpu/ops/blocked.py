@@ -77,8 +77,34 @@ def solve_triangular_blocked(
     return jnp.concatenate([X1, X2], axis=0)
 
 
+_SYRK_BLOCK = 512
+
+
+def _syrk_usable(m2: int, m: int, dtype) -> bool:
+    """The Pallas lower-triangle syrk applies when the trailing-update
+    shapes are 512-tile aligned, f32, and a real TPU is the backend."""
+    return (
+        dtype == jnp.float32
+        and m2 % _SYRK_BLOCK == 0
+        and m % _SYRK_BLOCK == 0
+        and jax.default_backend() == "tpu"
+    )
+
+
 def cholesky_blocked(A: jax.Array, *, leaf: int = 0, gemm_dtype=None) -> jax.Array:
     """Lower Cholesky factor of SPD ``A`` by trace-time recursion.
+
+    Like LAPACK ``potrf('L')`` (the reference's path, include/
+    LAPACKUtils.h:59-73) this reads ONLY the lower triangle of ``A``: the
+    leaves factor with ``symmetrize_input=False`` and every recursion
+    read (A11 lower, the dense A21 block, A22 lower) lies on or below the
+    diagonal.  That contract lets the trailing Schur update skip the
+    strict-upper output tiles entirely: on TPU with 512-aligned f32
+    shapes it dispatches to ``ops.pallas_syrk.syrk_update`` (~47% fewer
+    update flops than the full ``L21 @ L21.T`` GEMM, which XLA has no
+    rank-k primitive to avoid); the Schur complement's upper triangle is
+    then UNDEFINED, which is invisible to the recursion by the same
+    contract.
 
     ``gemm_dtype=jnp.bfloat16`` routes the trailing-update GEMM operands
     through bf16 (f32 accumulation) — ~2x MXU throughput on v5e for the
@@ -88,7 +114,7 @@ def cholesky_blocked(A: jax.Array, *, leaf: int = 0, gemm_dtype=None) -> jax.Arr
         leaf = _default_leaf()
     n = A.shape[0]
     if n <= leaf:
-        return jnp.linalg.cholesky(A)
+        return jax.lax.linalg.cholesky(A, symmetrize_input=False)
     m = _round_split(n)
     A11 = A[:m, :m]
     A21 = A[m:, :m]
@@ -96,19 +122,23 @@ def cholesky_blocked(A: jax.Array, *, leaf: int = 0, gemm_dtype=None) -> jax.Arr
     L11 = cholesky_blocked(A11, leaf=leaf, gemm_dtype=gemm_dtype)
     # L21 = A21 L11^-T  ==  (L11^-1 A21^T)^T
     L21 = solve_triangular_blocked(L11, A21.T, lower=True, leaf=leaf).T
-    if gemm_dtype is not None:
-        upd = jnp.matmul(
-            L21.astype(gemm_dtype),
-            L21.T.astype(gemm_dtype),
-            preferred_element_type=A.dtype,
-        ).astype(A.dtype)
+    if gemm_dtype is None and _syrk_usable(n - m, m, A.dtype):
+        from .pallas_syrk import syrk_update
+
+        S22 = syrk_update(A22, L21)  # valid in the lower triangle only
     else:
-        upd = jnp.matmul(
-            L21, L21.T, preferred_element_type=A.dtype,
-            precision=matmul_precision(),
-        )
-    S22 = A22 - upd
-    S22 = 0.5 * (S22 + S22.T)
+        if gemm_dtype is not None:
+            upd = jnp.matmul(
+                L21.astype(gemm_dtype),
+                L21.T.astype(gemm_dtype),
+                preferred_element_type=A.dtype,
+            ).astype(A.dtype)
+        else:
+            upd = jnp.matmul(
+                L21, L21.T, preferred_element_type=A.dtype,
+                precision=matmul_precision(),
+            )
+        S22 = A22 - upd
     L22 = cholesky_blocked(S22, leaf=leaf, gemm_dtype=gemm_dtype)
     top = jnp.concatenate([L11, jnp.zeros((m, n - m), A.dtype)], axis=1)
     bot = jnp.concatenate([L21, L22], axis=1)

@@ -44,15 +44,19 @@ def _logdet_bounds(dtype) -> Tuple[float, float]:
 
 
 def add_diagonal(A: jax.Array, value) -> jax.Array:
-    """A + value * I without materializing an identity matrix.
+    """A + value * I as a fusible masked add.
 
-    ``value`` may be a scalar or batched (matching A's batch dims)."""
+    ``value`` may be a scalar or batched (matching A's batch dims).  The
+    obvious ``A.at[idx, idx].add(v)`` lowers to an unfused copy + scatter
+    (~11 ms for n=16k f32 on v5e); the iota-mask form is a single fusible
+    elementwise pass XLA can sink into the consumer."""
     n = A.shape[-1]
-    idx = jnp.arange(n)
-    value = jnp.asarray(value)
+    rows = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    value = jnp.asarray(value, A.dtype)
     if value.ndim:
-        value = value[..., None]  # broadcast batch values across the diagonal
-    return A.at[..., idx, idx].add(value)
+        value = value[..., None, None]  # broadcast batch values across the diagonal
+    return A + jnp.where(rows == cols, value, jnp.zeros((), A.dtype))
 
 
 # size above which the recursive blocked Cholesky/solves (ops/blocked.py)
@@ -164,23 +168,41 @@ def safe_cholesky(
     eps = jnp.finfo(dtype).eps
 
     def _diag_ok(L):
-        # NaN/inf from a failed pivot reaches all subsequent diagonal
-        # entries, so the O(n) diagonal check detects failure without a
-        # full O(n^2) HBM pass over L.
-        return jnp.all(jnp.isfinite(jnp.diagonal(L, axis1=-2, axis2=-1)))
+        # NaN/inf from a failed pivot propagates (via the column scaling and
+        # trailing updates — only *, -, /, sqrt are involved) to EVERY later
+        # diagonal entry, so the last one alone detects failure: an O(1)
+        # check instead of an O(n) strided diagonal gather over the 1 GB
+        # factor (measured ~several ms at n=16k on v5e).
+        return jnp.all(jnp.isfinite(L[..., -1, -1]))
 
     # --- one factorization attempt; this is the whole success path ----------
     L0 = _chol_attempt(A)
     ok0 = _diag_ok(L0)
 
     A_ng = lax.stop_gradient(A)
-    diag_mean = jnp.mean(jnp.abs(jnp.diagonal(A_ng, axis1=-2, axis2=-1)), axis=-1)
-    base = jnp.where(initial_jitter > 0, initial_jitter, eps * jnp.maximum(diag_mean, 1.0))
+    batch_shape = A.shape[:-2]
 
     def _accept(_):
-        return L0, jnp.zeros_like(base)
+        # derive the zero jitter from ok0 (not a fresh constant): under
+        # shard_map a constant is axis-UNvarying while _escalate's jitter
+        # varies over the manual axes, and cond requires matching types.
+        # isfinite output is always a finite bool, so no NaN can leak in.
+        zero = jnp.zeros(batch_shape, dtype) + jnp.asarray(ok0, dtype) * 0
+        return L0, zero
 
     def _escalate(_):
+        diag_mean = jnp.mean(
+            jnp.abs(jnp.diagonal(A_ng, axis1=-2, axis2=-1)), axis=-1
+        )
+        base = jnp.broadcast_to(
+            jnp.where(
+                initial_jitter > 0,
+                jnp.asarray(initial_jitter, dtype),
+                eps * jnp.maximum(diag_mean, 1.0),
+            ),
+            batch_shape,
+        ).astype(dtype)
+
         def cond(state):
             ok, tries, _ = state
             return jnp.logical_and(jnp.logical_not(ok), tries < max_tries)

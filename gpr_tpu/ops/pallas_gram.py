@@ -35,8 +35,12 @@ def _pad_axis(a: jax.Array, axis: int, mult: int) -> jax.Array:
     return jnp.pad(a, widths)
 
 
-def _gram_kernel(params_ref, x_ref, y_ref, o_ref, *, form: str):
-    """One (bm, bn) tile: d2 = |x|^2 + |y|^2 - 2 x.y, then the RBF form."""
+def _gram_kernel(params_ref, x_ref, y_ref, o_ref, *, form: str, bm: int, bn: int):
+    """One (bm, bn) tile: d2 = |x|^2 + |y|^2 - 2 x.y, then the RBF form.
+
+    ``params_ref[3]`` is an optional diagonal offset added where the global
+    row == column (``K + diag_add * I`` fused into the same HBM pass — the
+    scatter-based ``add_diagonal`` costs ~11 ms at n=16k on v5e)."""
     x = x_ref[:]
     y = y_ref[:]
     xy = jax.lax.dot_general(
@@ -51,14 +55,21 @@ def _gram_kernel(params_ref, x_ref, y_ref, o_ref, *, form: str):
     sigma = params_ref[0]
     scale = params_ref[1]
     if form == "gaussian":
-        o_ref[:] = (scale * scale) * jnp.exp(-0.5 * d2 / (sigma * sigma))
+        val = (scale * scale) * jnp.exp(-0.5 * d2 / (sigma * sigma))
     elif form == "rq":
         alpha = params_ref[2]
-        o_ref[:] = (scale * scale) * (
+        val = (scale * scale) * (
             1.0 + 0.5 * d2 / (sigma * sigma * alpha)
         ) ** (-alpha)
     else:  # raw squared distances
-        o_ref[:] = d2
+        val = d2
+    rows = pl.program_id(0) * bm + jax.lax.broadcasted_iota(
+        jnp.int32, (bm, bn), 0
+    )
+    cols = pl.program_id(1) * bn + jax.lax.broadcasted_iota(
+        jnp.int32, (bm, bn), 1
+    )
+    o_ref[:] = val + jnp.where(rows == cols, params_ref[3], 0.0)
 
 
 @functools.partial(
@@ -70,6 +81,7 @@ def gram_pallas(
     sigma=1.0,
     scale=1.0,
     alpha=1.0,
+    diag=0.0,
     *,
     form: str = "gaussian",
     bm: int = 256,
@@ -80,7 +92,9 @@ def gram_pallas(
 
     X (n, d), Y (m, d); n, m are zero-padded up to the tile size and the
     result is cropped — zero-padded *rows* produce garbage entries only in
-    the cropped region.  Use ``interpret=True`` on CPU."""
+    the cropped region.  ``diag`` is added where i == j (K + diag*I in the
+    same HBM pass — only meaningful for the symmetric X is Y case).  Use
+    ``interpret=True`` on CPU."""
     n, d = X.shape
     m = Y.shape[0]
     Xp = _pad_axis(_pad_axis(X, 1, 128), 0, bm)
@@ -93,11 +107,12 @@ def gram_pallas(
             jnp.asarray(sigma, jnp.float32),
             jnp.asarray(scale, jnp.float32),
             jnp.asarray(alpha, jnp.float32),
+            jnp.asarray(diag, jnp.float32),
         ]
     )
 
     out = pl.pallas_call(
-        functools.partial(_gram_kernel, form=form),
+        functools.partial(_gram_kernel, form=form, bm=bm, bn=bn),
         out_shape=jax.ShapeDtypeStruct((np_, mp), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -123,7 +138,8 @@ def gram_pallas(
 
 
 def gaussian_gram(
-    X, Y=None, sigma=1.0, scale=1.0, *, dtype=None, interpret: Optional[bool] = None
+    X, Y=None, sigma=1.0, scale=1.0, diag=0.0, *, dtype=None,
+    interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Convenience wrapper: symmetric if Y is None; optional bf16 inputs for
     the MXU fast path (accumulation stays f32)."""
@@ -134,4 +150,6 @@ def gaussian_gram(
         Y = Y.astype(dtype)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
-    return gram_pallas(X, Y, sigma, scale, form="gaussian", interpret=interpret)
+    return gram_pallas(
+        X, Y, sigma, scale, diag=diag, form="gaussian", interpret=interpret
+    )

@@ -127,3 +127,47 @@ class TestWithPydicom:
             str(src), str(tmp_path / "o"), n_slices=2
         )
         assert len(renamed) == 2
+
+
+def test_pixel_array_roundtrip(tmp_path):
+    """Uncompressed pixel data decodes through the fallback reader
+    (reference read_us_video.py reads US frames via pydicom+SimpleITK)."""
+    import numpy as np
+
+    from gpr_tpu.data import dicom
+
+    rng = np.random.default_rng(0)
+    img8 = rng.integers(0, 255, (32, 24), dtype=np.uint8)
+    img16 = rng.integers(0, 60000, (16, 20), dtype=np.uint16)
+    p8 = tmp_path / "f8.dcm"
+    p16 = tmp_path / "f16.dcm"
+    dicom.write_minimal_dicom(str(p8), 1, pixel_data=img8)
+    dicom.write_minimal_dicom(str(p16), 2, pixel_data=img16)
+    np.testing.assert_array_equal(dicom.read_pixel_array(str(p8)), img8)
+    np.testing.assert_array_equal(dicom.read_pixel_array(str(p16)), img16)
+
+
+def test_us_video_to_vtk(tmp_path):
+    """Directory of US DICOM frames -> video_<InstanceNumber>.vtk
+    (reference scripts/read_us_video.py)."""
+    import numpy as np
+
+    from gpr_tpu.data import dicom
+    from gpr_tpu.pipeline import imageio
+
+    rng = np.random.default_rng(1)
+    src = tmp_path / "us_dcm"
+    src.mkdir()
+    frames = {}
+    for i in range(3):
+        img = rng.integers(0, 255, (12, 10), dtype=np.uint8)
+        frames[i + 1] = img
+        dicom.write_minimal_dicom(
+            str(src / f"f{i}.dcm"), i + 1, pixel_data=img
+        )
+    dest = tmp_path / "vtk"
+    n = dicom.us_video_to_vtk(str(src), str(dest))
+    assert n == 3
+    for inst, img in frames.items():
+        out = imageio.read_image(str(dest / f"video_{inst}.vtk"))
+        np.testing.assert_allclose(out.data, img.astype(np.float64))

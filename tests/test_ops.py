@@ -119,6 +119,99 @@ class TestPallasGram:
             K2 = np.asarray(gram(Gaussian(1.0, 1.0), jnp.asarray(X), jnp.asarray(Y)))
             np.testing.assert_allclose(K, K2, atol=1e-5)
 
+    def test_fused_diagonal(self):
+        """diag adds on the GLOBAL i==j positions only (K + diag*I fused
+        into the Gram pass), including sizes that straddle tile crops."""
+        rng = np.random.default_rng(4)
+        for n in (64, 300):
+            X = rng.standard_normal((n, 3)).astype(np.float32)
+            K0 = np.asarray(gaussian_gram(X, sigma=1.3, scale=0.9, interpret=True))
+            K1 = np.asarray(
+                gaussian_gram(X, sigma=1.3, scale=0.9, diag=0.25, interpret=True)
+            )
+            np.testing.assert_allclose(K1, K0 + 0.25 * np.eye(n), atol=1e-6)
+
+    def test_fused_diagonal_rq(self):
+        rng = np.random.default_rng(5)
+        X = rng.standard_normal((40, 2)).astype(np.float32)
+        K0 = np.asarray(
+            gram_pallas(jnp.asarray(X), jnp.asarray(X), 1.1, 0.8, 2.0,
+                        form="rq", interpret=True)
+        )
+        K1 = np.asarray(
+            gram_pallas(jnp.asarray(X), jnp.asarray(X), 1.1, 0.8, 2.0,
+                        diag=0.5, form="rq", interpret=True)
+        )
+        np.testing.assert_allclose(K1, K0 + 0.5 * np.eye(40), atol=1e-6)
+
+
+class TestPallasSyrk:
+    """Lower-triangle SYRK trailing update (ops/pallas_syrk.py)."""
+
+    def test_lower_triangle_matches(self):
+        from gpr_tpu.ops.pallas_syrk import syrk_update
+
+        rng = np.random.default_rng(0)
+        m, k = 1024, 512
+        L21 = rng.standard_normal((m, k)).astype(np.float32)
+        A22 = rng.standard_normal((m, m)).astype(np.float32)
+        S = np.asarray(
+            syrk_update(jnp.asarray(A22), jnp.asarray(L21), interpret=True)
+        )
+        ref = A22.astype(np.float64) - L21.astype(np.float64) @ L21.T.astype(np.float64)
+        tl = np.tril_indices(m)
+        # 'high'-tier (bf16x3) error is relative to the operand/accumulation
+        # scale sqrt(k), not to the (possibly cancelled) result entries
+        err = np.max(np.abs(S[tl] - ref[tl])) / np.sqrt(k)
+        assert err < 5e-4, err
+
+    def test_highest_precision_tighter(self):
+        from gpr_tpu.ops.pallas_syrk import syrk_update
+
+        rng = np.random.default_rng(1)
+        m, k = 512, 512
+        L21 = rng.standard_normal((m, k)).astype(np.float32)
+        A22 = rng.standard_normal((m, m)).astype(np.float32)
+        S = np.asarray(
+            syrk_update(jnp.asarray(A22), jnp.asarray(L21),
+                        precision="highest", interpret=True)
+        )
+        ref = A22.astype(np.float64) - L21.astype(np.float64) @ L21.T.astype(np.float64)
+        tl = np.tril_indices(m)
+        err = np.max(np.abs(S[tl] - ref[tl])) / np.sqrt(k)
+        assert err < 5e-5, err
+
+    def test_shape_validation(self):
+        from gpr_tpu.ops.pallas_syrk import syrk_update
+
+        with np.testing.assert_raises(ValueError):
+            syrk_update(jnp.eye(100), jnp.ones((100, 512)), interpret=True)
+
+    def test_blocked_cholesky_syrk_path(self, monkeypatch):
+        """cholesky_blocked through the syrk dispatch (forced on, interpret
+        mode) must reproduce the stock factorization's lower triangle."""
+        import gpr_tpu.ops.pallas_syrk as ps
+        import gpr_tpu.ops.blocked as blk
+        import functools
+
+        monkeypatch.setattr(
+            blk, "_syrk_usable",
+            lambda m2, m, dtype: dtype == jnp.float32
+            and m2 % 512 == 0 and m % 512 == 0,
+        )
+        orig = ps.syrk_update
+        monkeypatch.setattr(
+            ps, "syrk_update", functools.partial(orig, interpret=True)
+        )
+        rng = np.random.default_rng(2)
+        n = 1024
+        X = rng.standard_normal((n, n)).astype(np.float32)
+        A = (X @ X.T / n + n * np.eye(n)).astype(np.float32)
+        L = np.asarray(blk.cholesky_blocked(jnp.asarray(A), leaf=512))
+        Lref = np.linalg.cholesky(A.astype(np.float64))
+        tl = np.tril_indices(n)
+        np.testing.assert_allclose(L[tl], Lref[tl], atol=5e-2, rtol=1e-3)
+
 
 class TestSafeCholesky:
     def test_jitter_escalation_on_singular(self):
