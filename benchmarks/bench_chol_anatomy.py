@@ -27,6 +27,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _round_split(n: int, align: int = 128) -> int:
     m = n // 2

@@ -111,33 +111,87 @@ def _chol_pullback(L: jax.Array, Lbar: jax.Array) -> jax.Array:
     return 0.5 * (Abar + _mT(Abar))
 
 
-@jax.custom_vjp
-def _chol_attempt(A: jax.Array) -> jax.Array:
-    """One bare factorization attempt whose backward pass is NaN-safe.
-
-    XLA's native Cholesky VJP evaluated at a NaN primal produces NaN even
-    for a zero cotangent (0*NaN), which would poison gradients whenever the
-    escalation branch of :func:`safe_cholesky` is taken.  Here the pullback
-    is computed from the stored factor and masked to exactly zero when the
-    factorization failed."""
-    return chol_lower(A)
+def _diag_ok(L):
+    # NaN/inf from a failed pivot propagates (via the column scaling and
+    # trailing updates — only *, -, /, sqrt are involved) to EVERY later
+    # diagonal entry, so the last one alone detects failure: an O(1)
+    # check instead of an O(n) strided diagonal gather over the 1 GB
+    # factor (measured ~several ms at n=16k on v5e).
+    return jnp.all(jnp.isfinite(L[..., -1, -1]))
 
 
-def _chol_attempt_fwd(A):
-    L = chol_lower(A)
-    return L, L
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _safe_cholesky_impl(A, initial_jitter, max_tries):
+    dtype = A.dtype
+    eps = jnp.finfo(dtype).eps
+    batch_shape = A.shape[:-2]
+
+    # one factorization attempt; this is the whole success path
+    L0 = chol_lower(A)
+    ok0 = _diag_ok(L0)
+
+    def cond(state):
+        ok, tries, _, _ = state
+        return jnp.logical_and(jnp.logical_not(ok), tries < max_tries)
+
+    def body(state):
+        _, tries, j, _ = state
+        # escalation-only O(n) work (the diagonal gather) lives in the
+        # body, so the success path never pays it
+        diag_mean = jnp.mean(
+            jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)), axis=-1
+        )
+        base = jnp.broadcast_to(
+            jnp.where(
+                initial_jitter > 0,
+                initial_jitter.astype(dtype),
+                eps * jnp.maximum(diag_mean, 1.0),
+            ),
+            batch_shape,
+        ).astype(dtype)
+        jnew = jnp.where(tries == 0, base, j * 10.0)
+        Lnew = chol_lower(add_diagonal(A, jnew))
+        return _diag_ok(Lnew), tries + 1, jnew, Lnew
+
+    # The FACTOR itself is a loop carry: on success the loop runs zero
+    # iterations and returns (L0, 0) with the carry buffer aliased to L0 —
+    # no branch-boundary copy.  (A lax.cond formulation was measured to add
+    # ~4.7 ms at n=16k on v5e — XLA materializes the branch outputs into
+    # fresh buffers even when the taken branch is the identity on L0.)
+    # Derive the jitter init from ok0 rather than a fresh constant: under
+    # shard_map a constant carry is axis-UNvarying while the body output
+    # varies over the manual axes, which while_loop rejects.
+    j0 = jnp.zeros(batch_shape, dtype) + jnp.asarray(ok0, dtype) * 0
+    _, _, j, L = lax.while_loop(
+        cond, body, (ok0, jnp.asarray(0, jnp.int32), j0, L0)
+    )
+    return L, j
 
 
-def _chol_attempt_bwd(L, Lbar):
+def _safe_cholesky_fwd(A, initial_jitter, max_tries):
+    out = _safe_cholesky_impl(A, initial_jitter, max_tries)
+    return out, out[0]
+
+
+def _safe_cholesky_bwd(max_tries, L, cts):
+    # Pullback from the RETURNED factor: L = chol(A + j(A) I) with j
+    # piecewise-constant in A, so dL/dA is the Cholesky jacobian at the
+    # jittered point — computable from L alone (Murray 2016).  Masked to
+    # exactly zero when even the max jitter failed (NaN factor): XLA's
+    # native VJP at a NaN primal poisons gradients even for zero cotangent.
+    Lbar, _ = cts
     ok = jnp.all(jnp.isfinite(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
-    n = L.shape[-1]
     okb = ok[..., None, None]
+    n = L.shape[-1]
     Lsafe = jnp.where(okb, L, jnp.eye(n, dtype=L.dtype))
     Abar = _chol_pullback(Lsafe, jnp.where(okb, Lbar, jnp.zeros_like(Lbar)))
-    return (jnp.where(okb, Abar, jnp.zeros_like(Abar)),)
+    Abar = jnp.where(okb, Abar, jnp.zeros_like(Abar))
+    # the chosen jitter is treated as a constant of the data (its
+    # derivative is zero a.e.); initial_jitter gets no cotangent either
+    return Abar, jnp.zeros((), L.dtype)
 
 
-_chol_attempt.defvjp(_chol_attempt_fwd, _chol_attempt_bwd)
+_safe_cholesky_impl.defvjp(_safe_cholesky_fwd, _safe_cholesky_bwd)
 
 
 def safe_cholesky(
@@ -149,80 +203,24 @@ def safe_cholesky(
 
     Attempts ``chol(A + j*I)`` with ``j`` escalating from ``initial_jitter``
     (or eps-scaled if 0) by 10x per retry until the factorization succeeds.
-    Returns ``(L, jitter_used)``.  Fully jittable: uses a ``lax.while_loop``
-    over the retry counter.
+    Returns ``(L, jitter_used)``.  Fully jittable.
 
     This replaces the reference's strategy of falling back between LAPACK LU
     / Cholesky / SVD / eigendecomposition (lib/GaussianProcess.cpp:530-618).
 
-    The success path executes exactly ONE Cholesky: the factor of bare ``A``
-    is checked via its diagonal (a failed pivot propagates NaN to every
-    later diagonal entry) and returned directly when finite.  Only on
-    failure does a ``lax.cond`` branch enter the jitter-escalation loop (on
-    ``stop_gradient`` values, so the while_loop never carries tangents —
-    reverse-mode AD through while_loop is unsupported; the chosen jitter is
-    piecewise-constant in A and correctly treated as a constant by AD)
-    followed by one differentiable re-factorization.
+    The success path executes exactly ONE Cholesky and NO extra HBM pass
+    over the factor: the bare factor is checked via its last diagonal entry
+    (a failed pivot propagates NaN to every later one) and the retry loop —
+    which carries the factor, so its zero-iteration result aliases the
+    attempt — only runs on failure.  The whole function is a ``custom_vjp``
+    primitive differentiated via the Cholesky pullback of the *returned*
+    factor (reverse-mode AD cannot cross ``lax.while_loop``, and the chosen
+    jitter is piecewise-constant in ``A``, so the pullback at the jittered
+    point is the exact gradient).
     """
-    dtype = A.dtype
-    eps = jnp.finfo(dtype).eps
-
-    def _diag_ok(L):
-        # NaN/inf from a failed pivot propagates (via the column scaling and
-        # trailing updates — only *, -, /, sqrt are involved) to EVERY later
-        # diagonal entry, so the last one alone detects failure: an O(1)
-        # check instead of an O(n) strided diagonal gather over the 1 GB
-        # factor (measured ~several ms at n=16k on v5e).
-        return jnp.all(jnp.isfinite(L[..., -1, -1]))
-
-    # --- one factorization attempt; this is the whole success path ----------
-    L0 = _chol_attempt(A)
-    ok0 = _diag_ok(L0)
-
-    A_ng = lax.stop_gradient(A)
-    batch_shape = A.shape[:-2]
-
-    def _accept(_):
-        # derive the zero jitter from ok0 (not a fresh constant): under
-        # shard_map a constant is axis-UNvarying while _escalate's jitter
-        # varies over the manual axes, and cond requires matching types.
-        # isfinite output is always a finite bool, so no NaN can leak in.
-        zero = jnp.zeros(batch_shape, dtype) + jnp.asarray(ok0, dtype) * 0
-        return L0, zero
-
-    def _escalate(_):
-        diag_mean = jnp.mean(
-            jnp.abs(jnp.diagonal(A_ng, axis1=-2, axis2=-1)), axis=-1
-        )
-        base = jnp.broadcast_to(
-            jnp.where(
-                initial_jitter > 0,
-                jnp.asarray(initial_jitter, dtype),
-                eps * jnp.maximum(diag_mean, 1.0),
-            ),
-            batch_shape,
-        ).astype(dtype)
-
-        def cond(state):
-            ok, tries, _ = state
-            return jnp.logical_and(jnp.logical_not(ok), tries < max_tries)
-
-        def body(state):
-            _, tries, j = state
-            jnew = jnp.where(tries == 0, j, j * 10.0)
-            ok = _diag_ok(chol_lower(add_diagonal(A_ng, jnew)))
-            return ok, tries + 1, jnew
-
-        # init `ok` from ok0 (False in this branch) rather than a fresh
-        # constant: under shard_map a constant carry is axis-UNvarying while
-        # the body output varies over the manual axes, which while_loop
-        # rejects — deriving it from ok0 keeps the varying-axes type stable.
-        _, _, j = lax.while_loop(
-            cond, body, (jnp.logical_and(ok0, False), jnp.array(0), base)
-        )
-        return chol_lower(add_diagonal(A, j)), j
-
-    return lax.cond(ok0, _accept, _escalate, operand=None)
+    return _safe_cholesky_impl(
+        A, jnp.asarray(initial_jitter, A.dtype), int(max_tries)
+    )
 
 
 def cho_solve(L: jax.Array, b: jax.Array) -> jax.Array:
