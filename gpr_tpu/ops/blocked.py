@@ -91,37 +91,66 @@ def _syrk_usable(m2: int, m: int, dtype) -> bool:
     )
 
 
-def cholesky_blocked(A: jax.Array, *, leaf: int = 0, gemm_dtype=None) -> jax.Array:
-    """Lower Cholesky factor of SPD ``A`` by trace-time recursion.
+_NT = (((1,), (1,)), ((), ()))  # X @ Y^T without a physical transpose
 
-    Like LAPACK ``potrf('L')`` (the reference's path, include/
-    LAPACKUtils.h:59-73) this reads ONLY the lower triangle of ``A``: the
-    leaves factor with ``symmetrize_input=False`` and every recursion
-    read (A11 lower, the dense A21 block, A22 lower) lies on or below the
-    diagonal.  That contract lets the trailing Schur update skip the
-    strict-upper output tiles entirely: on TPU with 512-aligned f32
-    shapes it dispatches to ``ops.pallas_syrk.syrk_update`` (~47% fewer
-    update flops than the full ``L21 @ L21.T`` GEMM, which XLA has no
-    rank-k primitive to avoid); the Schur complement's upper triangle is
-    then UNDEFINED, which is invisible to the recursion by the same
-    contract.
 
-    ``gemm_dtype=jnp.bfloat16`` routes the trailing-update GEMM operands
-    through bf16 (f32 accumulation) — ~2x MXU throughput on v5e for the
-    ~2/3 of flops in the updates, at ~3-decimal-digit operand rounding.
-    The fast-policy option; leave None for parity work."""
-    if leaf <= 0:
-        leaf = _default_leaf()
+def _solve_rt(L, B, leaf, i0, invs):
+    """X with ``X @ L^T = B`` (B: (r, n)) — the factorization's column
+    solve ``L21 = A21 @ L11^{-T}`` computed right-side so NO physical
+    transpose is materialized anywhere (on TPU a transpose is a full
+    HBM copy; the old ``solve(L, A21^T)^T`` form paid two per level).
+
+    Leaf solves apply the pallas-precomputed leaf inverse from ``invs``
+    as ONE full-rate MXU GEMM (MAGMA's TRSM-via-TRTRI scheme) instead of
+    an XLA triangular-solve custom-call chain; leaves without an inverse
+    fall back to the native right-side triangular solve."""
+    n = L.shape[0]
+    if n <= leaf:
+        W = invs.get(i0) if invs is not None else None
+        if W is not None:
+            return jax.lax.dot_general(
+                B, W, _NT, preferred_element_type=B.dtype,
+                precision=matmul_precision(),
+            )
+        return jax.lax.linalg.triangular_solve(
+            L, B, left_side=False, lower=True, transpose_a=True
+        )
+    m = _round_split(n)
+    X1 = _solve_rt(L[:m, :m], B[:, :m], leaf, i0, invs)
+    rhs = B[:, m:] - jax.lax.dot_general(
+        X1, L[m:, :m], _NT, preferred_element_type=B.dtype,
+        precision=matmul_precision(),
+    )
+    X2 = _solve_rt(L[m:, m:], rhs, leaf, i0 + m, invs)
+    return jnp.concatenate([X1, X2], axis=1)
+
+
+def _chol_rec(A, leaf, gemm_dtype, i0, invs):
     n = A.shape[0]
     if n <= leaf:
+        if invs is not None:
+            from .pallas_leaf import leaf_usable, leaf_cholesky_wi
+
+            interp = jax.default_backend() != "tpu"
+            if leaf_usable(n, A.dtype) or (
+                interp and n % 256 == 0 and n <= 1024
+            ):
+                # ONE pallas program factors the leaf AND emits its
+                # inverse (consumed by _solve_rt's GEMM leaf solves) —
+                # no XLA leaf-cholesky machinery, no separate TRTRI pass
+                L, invs[i0] = leaf_cholesky_wi(A, interpret=interp)
+                return L
         return jax.lax.linalg.cholesky(A, symmetrize_input=False)
     m = _round_split(n)
     A11 = A[:m, :m]
     A21 = A[m:, :m]
     A22 = A[m:, m:]
-    L11 = cholesky_blocked(A11, leaf=leaf, gemm_dtype=gemm_dtype)
-    # L21 = A21 L11^-T  ==  (L11^-1 A21^T)^T
-    L21 = solve_triangular_blocked(L11, A21.T, lower=True, leaf=leaf).T
+    L11 = _chol_rec(A11, leaf, gemm_dtype, i0, invs)
+    if invs is not None:
+        L21 = _solve_rt(L11, A21, leaf, i0, invs)
+    else:
+        # L21 = A21 L11^-T  ==  (L11^-1 A21^T)^T
+        L21 = solve_triangular_blocked(L11, A21.T, lower=True, leaf=leaf).T
     if gemm_dtype is None and _syrk_usable(n - m, m, A.dtype):
         from .pallas_syrk import syrk_update
 
@@ -139,10 +168,55 @@ def cholesky_blocked(A: jax.Array, *, leaf: int = 0, gemm_dtype=None) -> jax.Arr
                 precision=matmul_precision(),
             )
         S22 = A22 - upd
-    L22 = cholesky_blocked(S22, leaf=leaf, gemm_dtype=gemm_dtype)
+    L22 = _chol_rec(S22, leaf, gemm_dtype, i0 + m, invs)
     top = jnp.concatenate([L11, jnp.zeros((m, n - m), A.dtype)], axis=1)
     bot = jnp.concatenate([L21, L22], axis=1)
     return jnp.concatenate([top, bot], axis=0)
+
+
+def cholesky_blocked(
+    A: jax.Array, *, leaf: int = 0, gemm_dtype=None,
+    leaf_inverse: bool | None = None,
+) -> jax.Array:
+    """Lower Cholesky factor of SPD ``A`` by trace-time recursion.
+
+    Like LAPACK ``potrf('L')`` (the reference's path, include/
+    LAPACKUtils.h:59-73) this reads ONLY the lower triangle of ``A``: the
+    leaves factor with ``symmetrize_input=False`` and every recursion
+    read (A11 lower, the dense A21 block, A22 lower) lies on or below the
+    diagonal.  That contract lets the trailing Schur update skip the
+    strict-upper output tiles entirely: on TPU with 512-aligned f32
+    shapes it dispatches to ``ops.pallas_syrk.syrk_update`` (~47% fewer
+    update flops than the full ``L21 @ L21.T`` GEMM, which XLA has no
+    rank-k primitive to avoid); the Schur complement's upper triangle is
+    then UNDEFINED, which is invisible to the recursion by the same
+    contract.
+
+    ``leaf_inverse`` (auto on TPU/f32): invert each factored leaf once in
+    VMEM (``ops.pallas_leaf.tri_inv_leaf``) and run every column solve
+    right-side with leaf solves as plain GEMMs — no triangular-solve
+    custom-calls and no physical transposes on the critical path.  The
+    explicit leaf inverse is numerically safe here: leaves are diagonal
+    Schur blocks of a jitter-guarded SPD matrix, so their condition is
+    bounded by sqrt(cond(A)).
+
+    ``gemm_dtype=jnp.bfloat16`` routes the trailing-update GEMM operands
+    through bf16 (f32 accumulation) — ~2x MXU throughput on v5e for the
+    ~2/3 of flops in the updates, at ~3-decimal-digit operand rounding.
+    The fast-policy option; leave None for parity work."""
+    if leaf <= 0:
+        leaf = _default_leaf()
+    if leaf_inverse is None:
+        # MEASURED OFF (v5e, n=16k): solve-as-GEMM leaf solves save
+        # ~2.3 ms of XLA triangular-solve machinery, but producing the
+        # inverses costs more — tri_inv_leaf 194 us x 16 leaves (net
+        # -0.8 ms) and the fused factor+inverse leaf 574 us vs XLA's
+        # 275 us leaf cholesky (net -5.9 ms).  The in-VMEM strip
+        # factorization's sequential latency dominates at 1024.  Kept as
+        # a validated building block; see BENCHMARKS.md round 2.
+        leaf_inverse = False
+    invs = {} if leaf_inverse else None
+    return _chol_rec(A, leaf, gemm_dtype, 0, invs)
 
 
 def cho_solve_blocked(L: jax.Array, B: jax.Array, *, leaf: int = 0) -> jax.Array:

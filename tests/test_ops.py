@@ -448,6 +448,64 @@ class TestLeftLookingPanels:
         assert np.abs(np.tril(L) - ref).max() / np.abs(ref).max() < 1e-5
 
 
+class TestPallasLeaf:
+    """Whole-leaf VMEM factorizer + leaf inverse (interpret mode).
+
+    Measured negative for dispatch (574 us/leaf vs XLA's 275 us on v5e,
+    see BENCHMARKS.md round 2) — kept as validated building blocks."""
+
+    @pytest.mark.parametrize("n", [256, 768])
+    def test_leaf_cholesky_lower_contract(self, n):
+        from gpr_tpu.ops.pallas_leaf import leaf_cholesky
+
+        rng = np.random.default_rng(3)
+        M = rng.standard_normal((n, n)).astype(np.float32)
+        A = M @ M.T + n * np.eye(n, dtype=np.float32)
+        ref = np.linalg.cholesky(A)
+        # garbage in the strict upper must be invisible (potrf('L'))
+        A_dirty = np.tril(A) + np.triu(np.full((n, n), np.nan, np.float32), 1)
+        L = np.asarray(leaf_cholesky(jnp.asarray(A_dirty), interpret=True))
+        assert np.abs(L - ref).max() / np.abs(ref).max() < 1e-5
+        assert (np.triu(L, 1) == 0).all()
+
+    def test_leaf_cholesky_wi(self):
+        from gpr_tpu.ops.pallas_leaf import leaf_cholesky_wi
+
+        n = 768
+        rng = np.random.default_rng(4)
+        M = rng.standard_normal((n, n)).astype(np.float32)
+        A = M @ M.T + n * np.eye(n, dtype=np.float32)
+        L, W = leaf_cholesky_wi(jnp.asarray(A), interpret=True)
+        L, W = np.asarray(L), np.asarray(W)
+        ref = np.linalg.cholesky(A)
+        assert np.abs(L - ref).max() / np.abs(ref).max() < 1e-5
+        assert np.abs(W @ ref - np.eye(n)).max() < 1e-4
+        assert (np.triu(L, 1) == 0).all() and (np.triu(W, 1) == 0).all()
+
+    def test_tri_inv_leaf(self):
+        from gpr_tpu.ops.pallas_leaf import tri_inv_leaf
+
+        n = 512
+        rng = np.random.default_rng(5)
+        M = rng.standard_normal((n, n)).astype(np.float32)
+        L = np.linalg.cholesky(M @ M.T + n * np.eye(n, dtype=np.float32))
+        W = np.asarray(tri_inv_leaf(jnp.asarray(L), interpret=True))
+        assert np.abs(W @ L - np.eye(n)).max() < 1e-4
+
+    def test_blocked_leaf_inverse_path(self):
+        """cholesky_blocked(leaf_inverse=True) routes leaves through the
+        fused pallas kernel and solves via GEMMs — same factor."""
+        from gpr_tpu.ops.blocked import cholesky_blocked
+
+        n = 1536  # leaf=512 -> pallas leaves (interpret on CPU)
+        A = _spd(n, seed=6).astype(np.float32)
+        L = np.asarray(
+            cholesky_blocked(jnp.asarray(A), leaf=512, leaf_inverse=True)
+        )
+        ref = np.linalg.cholesky(A)
+        assert np.abs(np.tril(L) - ref).max() / np.abs(ref).max() < 1e-4
+
+
 class TestPinvAndPolicy:
     def test_pinv_matches_reference_semantics(self):
         """gpr::pinv (Prior.h:38-56): singular values <= epsilon are zeroed,
