@@ -277,15 +277,20 @@ def fit(
         interp = jax.default_backend() != "tpu"
         noise = jnp.asarray(sigma, jnp.float32) ** 2
         # K + sigma^2 I fused into the Gram kernel's HBM pass (the separate
-        # scatter-based diagonal add costs ~11 ms at n=16k on v5e)
+        # scatter-based diagonal add costs ~11 ms at n=16k on v5e).  For
+        # sizes on the blocked-Cholesky path, only the LOWER-triangle tiles
+        # are computed/written (half the Gram flops and HBM writes) — the
+        # sole consumer is safe_cholesky's potrf('L')-contract factorization.
+        tril = X.shape[0] >= linalg._BLOCKED_MIN_N
         if isinstance(kernel, kermod.Gaussian):
             K = pallas_gram.gram_pallas(
-                X, X, kernel.sigma, kernel.scale, diag=noise, interpret=interp
+                X, X, kernel.sigma, kernel.scale, diag=noise,
+                interpret=interp, tril=tril,
             ).astype(X.dtype)
         elif isinstance(kernel, kermod.RationalQuadratic):
             K = pallas_gram.gram_pallas(
                 X, X, kernel.sigma, kernel.scale, kernel.alpha, diag=noise,
-                form="rq", interpret=interp,
+                form="rq", interpret=interp, tril=tril,
             ).astype(X.dtype)
     if K is None:
         K = kermod.gram(kernel, X)

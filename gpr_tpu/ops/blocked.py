@@ -125,7 +125,30 @@ def _solve_rt(L, B, leaf, i0, invs):
     return jnp.concatenate([X1, X2], axis=1)
 
 
-def _chol_rec(A, leaf, gemm_dtype, i0, invs):
+def assemble_blocks(b) -> jax.Array:
+    """Concatenate a block tree from :func:`cholesky_blocked_blocks` into
+    the full lower-triangular factor.  Leaf = the factor array itself;
+    node = ``(blocks11, L21, blocks22)``."""
+    if not isinstance(b, tuple):
+        return b
+    b11, L21, b22 = b
+    L11, L22 = assemble_blocks(b11), assemble_blocks(b22)
+    m = L11.shape[0]
+    n = m + L22.shape[0]
+    top = jnp.concatenate([L11, jnp.zeros((m, n - m), L11.dtype)], axis=1)
+    bot = jnp.concatenate([L21, L22], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def last_leaf(b) -> jax.Array:
+    """The bottom-right leaf factor of a block tree — a failed pivot
+    anywhere propagates NaN into this block's last diagonal entry."""
+    while isinstance(b, tuple):
+        b = b[2]
+    return b
+
+
+def _chol_rec(A, leaf, gemm_dtype, i0, invs, rt):
     n = A.shape[0]
     if n <= leaf:
         if invs is not None:
@@ -145,8 +168,10 @@ def _chol_rec(A, leaf, gemm_dtype, i0, invs):
     A11 = A[:m, :m]
     A21 = A[m:, :m]
     A22 = A[m:, m:]
-    L11 = _chol_rec(A11, leaf, gemm_dtype, i0, invs)
-    if invs is not None:
+    b11 = _chol_rec(A11, leaf, gemm_dtype, i0, invs, rt)
+    L11 = assemble_blocks(b11)
+    if invs is not None or rt:
+        # right-side solve: no physical transpose of A21 or the result
         L21 = _solve_rt(L11, A21, leaf, i0, invs)
     else:
         # L21 = A21 L11^-T  ==  (L11^-1 A21^T)^T
@@ -168,15 +193,41 @@ def _chol_rec(A, leaf, gemm_dtype, i0, invs):
                 precision=matmul_precision(),
             )
         S22 = A22 - upd
-    L22 = _chol_rec(S22, leaf, gemm_dtype, i0 + m, invs)
-    top = jnp.concatenate([L11, jnp.zeros((m, n - m), A.dtype)], axis=1)
-    bot = jnp.concatenate([L21, L22], axis=1)
-    return jnp.concatenate([top, bot], axis=0)
+    b22 = _chol_rec(S22, leaf, gemm_dtype, i0 + m, invs, rt)
+    return (b11, L21, b22)
+
+
+def cholesky_blocked_blocks(
+    A: jax.Array, *, leaf: int = 0, gemm_dtype=None,
+    leaf_inverse: bool | None = None, right_solve: bool | None = None,
+):
+    """Blocked Cholesky returning the UNASSEMBLED block tree (see
+    :func:`assemble_blocks`).  This is what retry loops should carry:
+    a ``lax.while_loop`` carry of the assembled factor forces the whole
+    concat tree to materialize every iteration (~4.3 ms at n=16k on v5e,
+    measured via trace diff); carrying the blocks and assembling once
+    after the loop keeps the zero-iteration success path copy-free."""
+    if leaf <= 0:
+        leaf = _default_leaf()
+    if leaf_inverse is None:
+        leaf_inverse = False  # measured off — see cholesky_blocked
+    if right_solve is None:
+        right_solve = _RIGHT_SOLVE_DEFAULT
+    invs = {} if leaf_inverse else None
+    return _chol_rec(A, leaf, gemm_dtype, 0, invs, right_solve)
+
+
+# Right-side (transpose-free) panel solves: the left-side form
+# solve(L11, A21.T).T pays a physical {1,0}->{0,1} layout copy of the A21
+# slice per level (~1.05 ms/level at n=16k, trace-measured); the
+# right-side lax triangular_solve consumes A21 in its native layout.
+# Default set by on-chip measurement (benchmarks/exp_safechol_overhead.py).
+_RIGHT_SOLVE_DEFAULT = False
 
 
 def cholesky_blocked(
     A: jax.Array, *, leaf: int = 0, gemm_dtype=None,
-    leaf_inverse: bool | None = None,
+    leaf_inverse: bool | None = None, right_solve: bool | None = None,
 ) -> jax.Array:
     """Lower Cholesky factor of SPD ``A`` by trace-time recursion.
 
@@ -215,8 +266,10 @@ def cholesky_blocked(
         # factorization's sequential latency dominates at 1024.  Kept as
         # a validated building block; see BENCHMARKS.md round 2.
         leaf_inverse = False
+    if right_solve is None:
+        right_solve = _RIGHT_SOLVE_DEFAULT
     invs = {} if leaf_inverse else None
-    return _chol_rec(A, leaf, gemm_dtype, 0, invs)
+    return assemble_blocks(_chol_rec(A, leaf, gemm_dtype, 0, invs, right_solve))
 
 
 def cho_solve_blocked(L: jax.Array, B: jax.Array, *, leaf: int = 0) -> jax.Array:

@@ -35,14 +35,12 @@ def _pad_axis(a: jax.Array, axis: int, mult: int) -> jax.Array:
     return jnp.pad(a, widths)
 
 
-def _gram_kernel(params_ref, x_ref, y_ref, o_ref, *, form: str, bm: int, bn: int):
-    """One (bm, bn) tile: d2 = |x|^2 + |y|^2 - 2 x.y, then the RBF form.
+def _tile_body(params_ref, x, y, *, form: str, bm: int, bn: int, ti, tj):
+    """d2 = |x|^2 + |y|^2 - 2 x.y for one (bm, bn) tile, then the RBF form.
 
     ``params_ref[3]`` is an optional diagonal offset added where the global
     row == column (``K + diag_add * I`` fused into the same HBM pass — the
     scatter-based ``add_diagonal`` costs ~11 ms at n=16k on v5e)."""
-    x = x_ref[:]
-    y = y_ref[:]
     xy = jax.lax.dot_general(
         x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,  # v5e default rounds to bf16
@@ -63,17 +61,34 @@ def _gram_kernel(params_ref, x_ref, y_ref, o_ref, *, form: str, bm: int, bn: int
         ) ** (-alpha)
     else:  # raw squared distances
         val = d2
-    rows = pl.program_id(0) * bm + jax.lax.broadcasted_iota(
-        jnp.int32, (bm, bn), 0
+    rows = ti * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
+    cols = tj * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+    return val + jnp.where(rows == cols, params_ref[3], 0.0)
+
+
+def _gram_tril_kernel(
+    params_ref, ri_ref, ci_ref, x_ref, y_ref, o_ref, *, form: str, bm: int, bn: int
+):
+    """Lower-triangle tile t -> (ri[t], ci[t]): upper tiles are never
+    visited — half the flops AND half the HBM writes of the dense grid.
+    The output's strict-upper tiles are UNDEFINED; valid only for consumers
+    honoring the potrf('L') read contract (ops.blocked.cholesky_blocked)."""
+    t = pl.program_id(0)
+    o_ref[:] = _tile_body(
+        params_ref, x_ref[:], y_ref[:], form=form, bm=bm, bn=bn,
+        ti=ri_ref[t], tj=ci_ref[t],
     )
-    cols = pl.program_id(1) * bn + jax.lax.broadcasted_iota(
-        jnp.int32, (bm, bn), 1
+
+
+def _gram_kernel(params_ref, x_ref, y_ref, o_ref, *, form: str, bm: int, bn: int):
+    o_ref[:] = _tile_body(
+        params_ref, x_ref[:], y_ref[:], form=form, bm=bm, bn=bn,
+        ti=pl.program_id(0), tj=pl.program_id(1),
     )
-    o_ref[:] = val + jnp.where(rows == cols, params_ref[3], 0.0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("form", "bm", "bn", "interpret")
+    jax.jit, static_argnames=("form", "bm", "bn", "interpret", "tril")
 )
 def gram_pallas(
     X: jax.Array,
@@ -87,6 +102,7 @@ def gram_pallas(
     bm: int = 256,
     bn: int = 256,
     interpret: bool = False,
+    tril: bool = False,
 ) -> jax.Array:
     """K[i, j] = k(X[i], Y[j]) for the given RBF form, f32 output.
 
@@ -94,7 +110,13 @@ def gram_pallas(
     result is cropped — zero-padded *rows* produce garbage entries only in
     the cropped region.  ``diag`` is added where i == j (K + diag*I in the
     same HBM pass — only meaningful for the symmetric X is Y case).  Use
-    ``interpret=True`` on CPU."""
+    ``interpret=True`` on CPU.
+
+    ``tril=True`` (symmetric case only, requires n == m): visit ONLY the
+    lower-triangle tiles via a 1D grid with scalar-prefetched (row, col)
+    tile indices — half the flops and half the HBM writes.  The output's
+    strict-upper tiles are UNDEFINED; valid for potrf('L')-contract
+    consumers (``ops.blocked.cholesky_blocked`` / ``safe_cholesky``)."""
     n, d = X.shape
     m = Y.shape[0]
     Xp = _pad_axis(_pad_axis(X, 1, 128), 0, bm)
@@ -110,6 +132,42 @@ def gram_pallas(
             jnp.asarray(diag, jnp.float32),
         ]
     )
+
+    if tril:
+        if n != m or bm != bn:
+            raise ValueError("tril gram requires the symmetric square case")
+        import numpy as onp
+
+        nt = np_ // bm
+        ri, ci = onp.tril_indices(nt)
+        ri = jnp.asarray(ri, jnp.int32)
+        ci = jnp.asarray(ci, jnp.int32)
+        ntiles = int(ri.shape[0])
+        out = pl.pallas_call(
+            functools.partial(_gram_tril_kernel, form=form, bm=bm, bn=bn),
+            out_shape=jax.ShapeDtypeStruct((np_, mp), jnp.float32),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(ntiles,),
+                in_specs=[
+                    pl.BlockSpec((bm, dp), lambda t, params, ri, ci: (ri[t], 0)),
+                    pl.BlockSpec((bn, dp), lambda t, params, ri, ci: (ci[t], 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (bm, bn), lambda t, params, ri, ci: (ri[t], ci[t])
+                ),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=ntiles * (2 * bm * bn * dp + 6 * bm * bn),
+                bytes_accessed=int(
+                    2 * ntiles * bm * dp * Xp.dtype.itemsize
+                    + ntiles * bm * bn * 4
+                ),
+                transcendentals=ntiles * bm * bn,
+            ),
+            interpret=interpret,
+        )(params, ri, ci, Xp, Yp)
+        return out[:n, :m]
 
     out = pl.pallas_call(
         functools.partial(_gram_kernel, form=form, bm=bm, bn=bn),
