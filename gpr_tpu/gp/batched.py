@@ -49,28 +49,44 @@ def fit_batched(
     sigma,
     jitter: float = 0.0,
     batched_kernel: bool = False,
+    use_crout: bool | None = None,
 ) -> BatchedGP:
     """Train B GPs at once.  X (B, n, d), Y (B, n, q), sigma scalar or (B,).
 
-    One jitted program: vmapped Gram (a single big batched GEMM) + XLA
-    batched Cholesky + batched triangular solves."""
+    One jitted program: vmapped Gram (a single big batched GEMM), then the
+    fleet factorization.  On TPU with panel-aligned n the factorization
+    dispatches to ``ops.pallas_batched.cholesky_batched`` (batched Crout
+    diagonal sweeps + batched MXU panel GEMMs — XLA's batched ``potrf``
+    custom call is latency-bound in this regime); ``use_crout`` forces the
+    choice (None = auto)."""
     X = jnp.asarray(X)
     Y = jnp.asarray(Y)
     if Y.ndim == 2:
         Y = Y[..., None]
-    B = X.shape[0]
+    B, n = X.shape[0], X.shape[1]
     sigma = jnp.broadcast_to(jnp.asarray(sigma, X.dtype), (B,))
 
     k_axes = _kernel_in_axes(kernel, batched_kernel)
 
-    def one(k, x, y, s):
+    def gram_one(k, x, s):
         K = kermod.gram(k, x)
-        K = linalg.add_diagonal(K, s**2 + jitter)
-        L = jnp.linalg.cholesky(K)
-        a = jax.scipy.linalg.cho_solve((L, True), y)
-        return L, a
+        return linalg.add_diagonal(K, s**2 + jitter)
 
-    L, alpha = jax.vmap(one, in_axes=(k_axes, 0, 0, 0))(kernel, X, Y, sigma)
+    K = jax.vmap(gram_one, in_axes=(k_axes, 0, 0))(kernel, X, sigma)
+
+    from ..ops import pallas_batched
+
+    if use_crout is None:
+        use_crout = pallas_batched.batched_usable(B, n, K.dtype)
+    if use_crout:
+        interp = jax.default_backend() != "tpu"
+        L = pallas_batched.cholesky_batched(K, interpret=interp)
+        alpha = pallas_batched.cho_solve_batched(L, Y, interpret=interp)
+    else:
+        L = jnp.linalg.cholesky(K)
+        alpha = jax.vmap(
+            lambda l, y: jax.scipy.linalg.cho_solve((l, True), y)
+        )(L, Y)
     return BatchedGP(
         kernel=kernel, X=X, Y=Y, sigma=sigma, alpha=alpha, L=L,
         batched_kernel=batched_kernel,

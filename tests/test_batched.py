@@ -103,3 +103,68 @@ def test_fleet_sharded_indivisible_rejected():
     X, Y = _fleet(B=6, n=10)
     with pytest.raises(ValueError):
         batched.fit_batched_sharded(gpr_tpu.Gaussian(1.0), X, Y, sigma=0.1)
+
+
+class TestCroutFleet:
+    """ops/pallas_batched: the fleet factorizer (interpret mode on CPU)."""
+
+    def _spd(self, B, n, seed=0, dtype=jnp.float32):
+        rng = np.random.default_rng(seed)
+        G = rng.standard_normal((B, n, n))
+        A = G @ np.swapaxes(G, 1, 2) + n * np.eye(n)
+        return jnp.asarray(A, dtype)
+
+    def test_crout_chol_wi(self):
+        from gpr_tpu.ops import pallas_batched as pb
+
+        A = self._spd(6, 64)
+        L, W = pb.crout_chol_wi(A, interpret=True)
+        ref = np.linalg.cholesky(np.asarray(A, np.float64))
+        np.testing.assert_allclose(np.asarray(L), ref, rtol=0, atol=2e-4 * 64)
+        eye = np.einsum("bij,bjk->bik", np.asarray(W), ref)
+        np.testing.assert_allclose(eye, np.broadcast_to(np.eye(64), eye.shape),
+                                   atol=5e-4)
+        # strict uppers exactly zero
+        assert not np.any(np.triu(np.asarray(L), 1))
+
+    def test_crout_reads_lower_only(self):
+        from gpr_tpu.ops import pallas_batched as pb
+
+        A = self._spd(3, 32)
+        junk = A.at[:].set(jnp.where(jnp.tril(jnp.ones((32, 32))) > 0, A, 777.0))
+        L0, _ = pb.crout_chol_wi(A, interpret=True)
+        L1, _ = pb.crout_chol_wi(junk, interpret=True)
+        np.testing.assert_array_equal(np.asarray(L0), np.asarray(L1))
+
+    def test_cholesky_batched_vs_xla(self):
+        from gpr_tpu.ops import pallas_batched as pb
+
+        A = self._spd(4, 384, seed=3)
+        L = pb.cholesky_batched(A, panel=128, interpret=True)
+        ref = np.linalg.cholesky(np.asarray(A, np.float64))
+        np.testing.assert_allclose(np.asarray(L), ref, rtol=0,
+                                   atol=2e-3)
+        assert not np.any(np.triu(np.asarray(L), 1))
+
+    def test_cho_solve_batched(self):
+        from gpr_tpu.ops import pallas_batched as pb
+
+        A = self._spd(3, 256, seed=5)
+        rngl = np.random.default_rng(7)
+        Bm = jnp.asarray(rngl.standard_normal((3, 256, 4)), jnp.float32)
+        L = pb.cholesky_batched(A, panel=128, interpret=True)
+        X = pb.cho_solve_batched(L, Bm, interpret=True)
+        ref = np.linalg.solve(np.asarray(A, np.float64), np.asarray(Bm, np.float64))
+        np.testing.assert_allclose(np.asarray(X), ref, rtol=0, atol=5e-3)
+
+    def test_fit_batched_use_crout_matches(self):
+        X, Y = _fleet(B=2, n=128, d=2, q=1)
+        X = X.astype(jnp.float32)
+        Y = Y.astype(jnp.float32)
+        k = gpr_tpu.Gaussian(1.2, 0.9)
+        ref = batched.fit_batched(k, X, Y, sigma=0.1, use_crout=False)
+        got = batched.fit_batched(k, X, Y, sigma=0.1, use_crout=True)
+        np.testing.assert_allclose(np.asarray(got.alpha), np.asarray(ref.alpha),
+                                   rtol=0, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(got.L), np.asarray(ref.L),
+                                   rtol=0, atol=2e-3)
