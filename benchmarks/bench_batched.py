@@ -24,6 +24,9 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     d, q = 8, 4
+    # BENCH_CROUT=0/1 forces the fleet factorizer; unset = auto-dispatch
+    crout_env = os.environ.get("BENCH_CROUT")
+    use_crout = None if crout_env is None else bool(int(crout_env))
 
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.standard_normal((B, n, d)).astype(np.float32))
@@ -35,7 +38,9 @@ def main():
         def f(X, Y):
             out = jnp.asarray(0.0, jnp.float32)
             for _ in range(R):
-                fleet = batched.fit_batched(kernel, X + out * 1e-30, Y, sigma=0.1)
+                fleet = batched.fit_batched(
+                    kernel, X + out * 1e-30, Y, sigma=0.1, use_crout=use_crout
+                )
                 out = jnp.sum(fleet.alpha[:, -1])
             return out
 
@@ -62,6 +67,7 @@ def main():
                 "unit": "fits/s",
                 "detail": {
                     "backend": jax.default_backend(),
+                    "crout": crout_env or "auto",
                     "tflops": round(flops / per / 1e12, 2),
                     "seconds_per_batch": round(per, 5),
                 },

@@ -80,8 +80,10 @@ def fit_batched(
         use_crout = pallas_batched.batched_usable(B, n, K.dtype)
     if use_crout:
         interp = jax.default_backend() != "tpu"
-        L = pallas_batched.cholesky_batched(K, interpret=interp)
-        alpha = pallas_batched.cho_solve_batched(L, Y, interpret=interp)
+        L, W = pallas_batched.cholesky_batched(
+            K, interpret=interp, return_winv=True
+        )
+        alpha = pallas_batched.cho_solve_batched(L, Y, interpret=interp, winv=W)
     else:
         L = jnp.linalg.cholesky(K)
         alpha = jax.vmap(

@@ -151,13 +151,18 @@ def batched_usable(B: int, n: int, dtype, panel: int = 128) -> bool:
 
 
 def cholesky_batched(
-    A: jax.Array, *, panel: int = 128, interpret: bool = False
-) -> jax.Array:
+    A: jax.Array, *, panel: int = 128, interpret: bool = False,
+    return_winv: bool = False,
+):
     """Lower Cholesky factors of a fleet ``A``: (B, n, n), via a
     right-looking panel sweep whose diagonal blocks factor in ONE pallas
     program per step (``crout_chol_wi``) and whose panel solves/trailing
     updates are batched MXU GEMMs.  Reads only lower triangles; strict
-    uppers of the result are exactly zero."""
+    uppers of the result are exactly zero.
+
+    With ``return_winv`` also returns the diagonal-block inverses
+    ``W``: (B, nb, panel, panel) — the sweep emits them for free, and
+    ``cho_solve_batched`` can reuse them instead of re-deriving."""
     B, n, n2 = A.shape
     if n != n2 or n % panel:
         raise ValueError(f"cholesky_batched: bad shape {A.shape} panel={panel}")
@@ -168,9 +173,11 @@ def cholesky_batched(
     # per panel step k: cols[k] holds the (B, n - k*panel, panel) factor
     # column (diagonal block + below-panel rows)
     cols = []
+    winvs = []
     for k in range(nb):
         D = S[:, :panel, :panel]
         Lkk, Wkk = crout_chol_wi(D, interpret=interpret)
+        winvs.append(Wkk)
         if n - (k + 1) * panel > 0:
             Apk = S[:, panel:, :panel]  # (B, m, panel)
             # P = A_pk @ L_kk^{-T}: batched GEMM against the in-sweep inverse
@@ -190,34 +197,42 @@ def cholesky_batched(
     for k, C in enumerate(cols):
         pad = jnp.zeros((B, k * panel, panel), A.dtype)
         out_cols.append(jnp.concatenate([pad, C], axis=1))
-    return jnp.concatenate(out_cols, axis=2)
+    Lout = jnp.concatenate(out_cols, axis=2)
+    if return_winv:
+        return Lout, jnp.stack(winvs, axis=1)
+    return Lout
 
 
 def cho_solve_batched(
     L: jax.Array, Bmat: jax.Array, *, panel: int = 128,
-    interpret: bool = False,
+    interpret: bool = False, winv: jax.Array | None = None,
 ) -> jax.Array:
     """Solve (L L^T) X = B for a fleet, using the block substitution with
     diagonal-block inverses (batched GEMMs only, no triangular-solve
-    custom calls).  ``L``: (B, n, n); ``Bmat``: (B, n, q)."""
+    custom calls).  ``L``: (B, n, n); ``Bmat``: (B, n, q); ``winv``
+    (optional): the (B, nb, p, p) diagonal-block inverses from
+    ``cholesky_batched(..., return_winv=True)``."""
     Bsz, n, _ = L.shape
     nb = n // panel
     prec = matmul_precision()
-    D = jnp.stack(
-        [L[:, i * panel : (i + 1) * panel, i * panel : (i + 1) * panel]
-         for i in range(nb)], axis=1,
-    )  # (B, nb, p, p)
-    # chol(D D^T) == D for lower-triangular D with positive diagonal, so one
-    # batched GEMM + the fused factor+inverse sweep yields W = inv(D) for
-    # every diagonal block without a triangular-solve custom call
-    _, W = crout_chol_wi(
-        jax.lax.dot_general(
-            D, D, (((3,), (3,)), ((0, 1), (0, 1))),
-            preferred_element_type=L.dtype, precision=_HI,
-        ).reshape(Bsz * nb, panel, panel),
-        interpret=interpret,
-    )
-    W = W.reshape(Bsz, nb, panel, panel)
+    if winv is not None:
+        W = winv
+    else:
+        D = jnp.stack(
+            [L[:, i * panel : (i + 1) * panel, i * panel : (i + 1) * panel]
+             for i in range(nb)], axis=1,
+        )  # (B, nb, p, p)
+        # chol(D D^T) == D for lower-triangular D with positive diagonal, so
+        # one batched GEMM + the fused factor+inverse sweep yields W = inv(D)
+        # for every diagonal block without a triangular-solve custom call
+        _, W = crout_chol_wi(
+            jax.lax.dot_general(
+                D, D, (((3,), (3,)), ((0, 1), (0, 1))),
+                preferred_element_type=L.dtype, precision=_HI,
+            ).reshape(Bsz * nb, panel, panel),
+            interpret=interpret,
+        )
+        W = W.reshape(Bsz, nb, panel, panel)
 
     def blk(M, i):
         return M[:, i * panel : (i + 1) * panel]

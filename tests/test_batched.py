@@ -168,3 +168,17 @@ class TestCroutFleet:
                                    rtol=0, atol=2e-3)
         np.testing.assert_allclose(np.asarray(got.L), np.asarray(ref.L),
                                    rtol=0, atol=2e-3)
+
+    def test_winv_reuse_matches(self):
+        from gpr_tpu.ops import pallas_batched as pb
+
+        A = self._spd(2, 256, seed=9)
+        rngl = np.random.default_rng(11)
+        Bm = jnp.asarray(rngl.standard_normal((2, 256, 3)), jnp.float32)
+        L, W = pb.cholesky_batched(A, panel=128, interpret=True,
+                                   return_winv=True)
+        assert W.shape == (2, 2, 128, 128)
+        x0 = pb.cho_solve_batched(L, Bm, interpret=True)
+        x1 = pb.cho_solve_batched(L, Bm, interpret=True, winv=W)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
+                                   rtol=0, atol=1e-5)
