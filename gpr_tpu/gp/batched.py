@@ -80,10 +80,16 @@ def fit_batched(
         use_crout = pallas_batched.batched_usable(B, n, K.dtype)
     if use_crout:
         interp = jax.default_backend() != "tpu"
-        L, W = pallas_batched.cholesky_batched(
-            K, interpret=interp, return_winv=True
-        )
-        alpha = pallas_batched.cho_solve_batched(L, Y, interpret=interp, winv=W)
+        if n <= pallas_batched._FLEET_FUSED_MAX_N:
+            # whole matrix fits VMEM: factor + solve in ONE pallas dispatch
+            L, alpha = pallas_batched.factor_solve_fused(K, Y, interpret=interp)
+        else:
+            L, W = pallas_batched.cholesky_batched(
+                K, interpret=interp, return_winv=True
+            )
+            alpha = pallas_batched.cho_solve_batched(
+                L, Y, interpret=interp, winv=W
+            )
     else:
         L = jnp.linalg.cholesky(K)
         alpha = jax.vmap(

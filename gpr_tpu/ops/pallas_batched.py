@@ -85,10 +85,9 @@ def _crout_wi_kernel(a_ref, l_ref, w_ref, *, g: int, b: int):
         # matvec per step, full-tile static.
         lrow = lax.dynamic_slice(L, (0, j, 0), (g, 1, b))  # (g,1,b)
         lrow = jnp.where(cols < j, lrow, 0.0)
-        acc = jax.lax.dot_general(
-            lrow, W, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=W.dtype, precision=_HI,
-        )  # (g, 1, b)
+        # matvec as broadcast-multiply + row reduction: VPU work, and it
+        # sidesteps batched dot_general lowering inside the kernel
+        acc = jnp.sum(lrow.transpose(0, 2, 1) * W, axis=1, keepdims=True)
         wrow = -acc * rd + jnp.where(cols == j, rd, 0.0)
         W = jnp.where(rows == j, wrow, W)
         return S, L, W
@@ -272,3 +271,161 @@ def cho_solve_batched(
             preferred_element_type=rhs.dtype, precision=prec,
         )
     return jnp.concatenate(xs, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# fused whole-fleet kernel: factor + solve per matrix entirely in VMEM
+# ---------------------------------------------------------------------------
+
+def _crout_sweep_2d(S0, p, dtype):
+    """(L, W=L^{-1}) of one SPD (p, p) tile as a fori_loop Crout sweep.
+
+    2-D value-level version of ``_crout_wi_kernel``'s sweep: every loop
+    step is full-tile masked VPU work with static shapes, and the inverse
+    accumulates by a broadcast-multiply row reduction (no in-kernel
+    dot_general)."""
+    rows = lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    low = jnp.where(rows >= cols, S0, 0.0)
+    S0 = low + jnp.where(rows > cols, S0, 0.0).T
+    L0 = jnp.zeros((p, p), dtype)
+    W0 = jnp.zeros((p, p), dtype)
+
+    def step(j, carry):
+        S, L, W = carry
+        piv = lax.dynamic_slice(S, (j, j), (1, 1))
+        rd = lax.rsqrt(jnp.maximum(piv, 0.0))
+        colj = lax.dynamic_slice(S, (0, j), (p, 1)) * rd
+        colj = jnp.where(rows >= j, colj, 0.0)
+        L = jnp.where(cols == j, colj, L)
+        colu = jnp.where(rows > j, colj, 0.0)
+        S = S - colu * colu.T
+        lrow = lax.dynamic_slice(L, (j, 0), (1, p))
+        lrow = jnp.where(cols < j, lrow, 0.0)
+        acc = jnp.sum(lrow.T * W, axis=0, keepdims=True)  # (1, p)
+        wrow = -acc * rd + jnp.where(cols == j, rd, 0.0)
+        W = jnp.where(rows == j, wrow, W)
+        return S, L, W
+
+    _, L, W = lax.fori_loop(0, p, step, (S0, L0, W0))
+    return L, W
+
+
+def _fleet_kernel(a_ref, y_ref, l_ref, x_ref, *, n: int, p: int, q: int):
+    """One grid step = one fleet member: blocked Crout factorization with
+    in-VMEM Schur updates, then block forward/backward substitution with
+    the in-sweep diagonal inverses.  The whole n x n state lives as traced
+    values; the only HBM traffic is one read of (A, Y) and one write of
+    (L, X) per matrix."""
+    dtype = a_ref.dtype
+    prec = matmul_precision()
+    nb = n // p
+    rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    A = a_ref[0]
+    # symmetrize from the lower triangle once; Schur updates preserve it
+    A = jnp.where(rows >= cols, A, 0.0) + jnp.where(rows > cols, A, 0.0).T
+
+    S = A
+    Ps = []  # Ps[k]: (n - (k+1) p, p) below-diagonal panel of column k
+    Ws = []  # Ws[k]: (p, p) inverse of diagonal block k
+    Ls = []
+    for k in range(nb):
+        D = S[:p, :p]
+        Lkk, Wkk = _crout_sweep_2d(D, p, dtype)
+        Ls.append(Lkk)
+        Ws.append(Wkk)
+        m = n - (k + 1) * p
+        if m > 0:
+            P = jax.lax.dot_general(
+                S[p:, :p], Wkk, (((1,), (1,)), ((), ())),
+                preferred_element_type=dtype, precision=prec,
+            )
+            Ps.append(P)
+            S = S[p:, p:] - jax.lax.dot_general(
+                P, P, (((1,), (1,)), ((), ())),
+                preferred_element_type=dtype, precision=prec,
+            )
+        else:
+            Ps.append(None)
+
+    # assemble L in one write: build full columns then concatenate
+    colblocks = []
+    for k in range(nb):
+        top = jnp.zeros((k * p, p), dtype)
+        body = Ls[k] if Ps[k] is None else jnp.concatenate([Ls[k], Ps[k]], 0)
+        colblocks.append(jnp.concatenate([top, body], 0))
+    l_ref[0] = jnp.concatenate(colblocks, axis=1)
+
+    def lblk(i, j):  # L[i, j] block for i > j, from column j's panel
+        return Ps[j][(i - j - 1) * p : (i - j) * p]
+
+    Y = y_ref[0]
+    ys = []
+    for i in range(nb):
+        rhs = Y[i * p : (i + 1) * p]
+        for j in range(i):
+            rhs = rhs - jax.lax.dot_general(
+                lblk(i, j), ys[j], (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype, precision=prec,
+            )
+        ys.append(jax.lax.dot_general(
+            Ws[i], rhs, (((1,), (0,)), ((), ())),
+            preferred_element_type=dtype, precision=prec,
+        ))
+    xs = [None] * nb
+    for i in range(nb - 1, -1, -1):
+        rhs = ys[i]
+        for j in range(i + 1, nb):
+            rhs = rhs - jax.lax.dot_general(
+                lblk(j, i), xs[j], (((0,), (0,)), ((), ())),
+                preferred_element_type=dtype, precision=prec,
+            )
+        xs[i] = jax.lax.dot_general(
+            Ws[i], rhs, (((0,), (0,)), ((), ())),
+            preferred_element_type=dtype, precision=prec,
+        )
+    x_ref[0] = jnp.concatenate(xs, axis=0)
+
+
+# whole-matrix state must fit VMEM: ~4 resident (n, n) f32 values
+_FLEET_FUSED_MAX_N = 768
+
+
+@functools.partial(jax.jit, static_argnames=("panel", "interpret"))
+def factor_solve_fused(
+    A: jax.Array, Y: jax.Array, *, panel: int = 128, interpret: bool = False
+):
+    """(L, alpha) for a fleet in ONE pallas dispatch.
+
+    ``A``: (B, n, n) SPD (lower triangles read), ``Y``: (B, n, q).
+    Each grid step factors one matrix entirely in VMEM (blocked Crout,
+    MXU panel/trailing GEMMs) and runs the block substitution — no
+    inter-panel HBM round-trips, no per-stage dispatches."""
+    B, n, n2 = A.shape
+    q = Y.shape[-1]
+    if n != n2 or n % panel or Y.shape[:2] != (B, n):
+        raise ValueError(f"factor_solve_fused: bad shapes {A.shape} {Y.shape}")
+    kernel = functools.partial(_fleet_kernel, n=n, p=panel, q=q)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n, n), A.dtype),
+            jax.ShapeDtypeStruct((B, n, q), A.dtype),
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, n, n), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n, q), lambda i: (i, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, n), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n, q), lambda i: (i, 0, 0)),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(B * (n**3 / 3 + 2 * n * n * q)),
+            bytes_accessed=int(2 * B * n * n * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(A, Y)

@@ -182,3 +182,28 @@ class TestCroutFleet:
         x1 = pb.cho_solve_batched(L, Bm, interpret=True, winv=W)
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
                                    rtol=0, atol=1e-5)
+
+    def test_factor_solve_fused(self):
+        from gpr_tpu.ops import pallas_batched as pb
+
+        A = self._spd(3, 384, seed=13)
+        rngl = np.random.default_rng(17)
+        Bm = jnp.asarray(rngl.standard_normal((3, 384, 4)), jnp.float32)
+        L, X = pb.factor_solve_fused(A, Bm, interpret=True)
+        refL = np.linalg.cholesky(np.asarray(A, np.float64))
+        refX = np.linalg.solve(np.asarray(A, np.float64),
+                               np.asarray(Bm, np.float64))
+        np.testing.assert_allclose(np.asarray(L), refL, rtol=0, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(X), refX, rtol=0, atol=1e-3)
+        assert not np.any(np.triu(np.asarray(L), 1))
+
+    def test_fused_reads_lower_only(self):
+        from gpr_tpu.ops import pallas_batched as pb
+
+        A = self._spd(2, 128)
+        Bm = jnp.ones((2, 128, 2), jnp.float32)
+        junk = jnp.where(jnp.tril(jnp.ones((128, 128))) > 0, A, -55.0)
+        L0, X0 = pb.factor_solve_fused(A, Bm, interpret=True)
+        L1, X1 = pb.factor_solve_fused(junk, Bm, interpret=True)
+        np.testing.assert_array_equal(np.asarray(L0), np.asarray(L1))
+        np.testing.assert_array_equal(np.asarray(X0), np.asarray(X1))
