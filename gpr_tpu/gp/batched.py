@@ -42,6 +42,31 @@ def _kernel_in_axes(kernel, batched: bool):
     return 0 if batched else None
 
 
+def _factor_and_solve(K, Y, use_crout: bool | None):
+    """Fleet factorization + regression solve: (B, n, n), (B, n, q) ->
+    (L, alpha).  ``use_crout=None`` auto-dispatches to the pallas fleet
+    factorizer on TPU (fused single-kernel under the VMEM bound,
+    panel-stepped above it); False pins XLA's batched potrf."""
+    from ..ops import pallas_batched
+
+    B, n = K.shape[0], K.shape[1]
+    if use_crout is None:
+        use_crout = pallas_batched.batched_usable(B, n, K.dtype)
+    if use_crout:
+        interp = jax.default_backend() != "tpu"
+        if n <= pallas_batched._FLEET_FUSED_MAX_N:
+            # whole matrix fits VMEM: factor + solve in ONE pallas dispatch
+            return pallas_batched.factor_solve_fused(K, Y, interpret=interp)
+        L, W = pallas_batched.cholesky_batched(
+            K, interpret=interp, return_winv=True
+        )
+        alpha = pallas_batched.cho_solve_batched(L, Y, interpret=interp, winv=W)
+        return L, alpha
+    L = jnp.linalg.cholesky(K)
+    alpha = jax.vmap(lambda l, y: jax.scipy.linalg.cho_solve((l, True), y))(L, Y)
+    return L, alpha
+
+
 def fit_batched(
     kernel,
     X,
@@ -73,28 +98,7 @@ def fit_batched(
         return linalg.add_diagonal(K, s**2 + jitter)
 
     K = jax.vmap(gram_one, in_axes=(k_axes, 0, 0))(kernel, X, sigma)
-
-    from ..ops import pallas_batched
-
-    if use_crout is None:
-        use_crout = pallas_batched.batched_usable(B, n, K.dtype)
-    if use_crout:
-        interp = jax.default_backend() != "tpu"
-        if n <= pallas_batched._FLEET_FUSED_MAX_N:
-            # whole matrix fits VMEM: factor + solve in ONE pallas dispatch
-            L, alpha = pallas_batched.factor_solve_fused(K, Y, interpret=interp)
-        else:
-            L, W = pallas_batched.cholesky_batched(
-                K, interpret=interp, return_winv=True
-            )
-            alpha = pallas_batched.cho_solve_batched(
-                L, Y, interpret=interp, winv=W
-            )
-    else:
-        L = jnp.linalg.cholesky(K)
-        alpha = jax.vmap(
-            lambda l, y: jax.scipy.linalg.cho_solve((l, True), y)
-        )(L, Y)
+    L, alpha = _factor_and_solve(K, Y, use_crout)
     return BatchedGP(
         kernel=kernel, X=X, Y=Y, sigma=sigma, alpha=alpha, L=L,
         batched_kernel=batched_kernel,
@@ -127,9 +131,13 @@ def variance_batched(gp: BatchedGP, Xs) -> jax.Array:
     return jax.vmap(one, in_axes=(k_axes, 0, 0, 0))(gp.kernel, Xs, gp.X, gp.L)
 
 
-def mll_batched(kernel, X, Y, sigma, batched_kernel: bool = False) -> jax.Array:
+def mll_batched(
+    kernel, X, Y, sigma, batched_kernel: bool = False,
+    use_crout: bool | None = None,
+) -> jax.Array:
     """Per-GP scalar log marginal likelihoods (B,) — e.g. for scoring a
-    hyperparameter grid in one shot."""
+    hyperparameter grid in one shot.  Rides the same fleet factorization
+    dispatch as :func:`fit_batched`."""
     import math
 
     X = jnp.asarray(X)
@@ -140,16 +148,14 @@ def mll_batched(kernel, X, Y, sigma, batched_kernel: bool = False) -> jax.Array:
     sigma = jnp.broadcast_to(jnp.asarray(sigma, X.dtype), (B,))
     k_axes = _kernel_in_axes(kernel, batched_kernel)
 
-    def one(k, x, y, s):
-        K = kermod.gram(k, x)
-        K = linalg.add_diagonal(K, s**2)
-        L = jnp.linalg.cholesky(K)
-        a = jax.scipy.linalg.cho_solve((L, True), y)
-        df = -0.5 * jnp.sum(y * a)
-        cp = -jnp.sum(jnp.log(jnp.diagonal(L)))
-        return df + cp - n / 2.0 * math.log(2 * math.pi) * y.shape[1]
+    def gram_one(k, x, s):
+        return linalg.add_diagonal(kermod.gram(k, x), s**2)
 
-    return jax.vmap(one, in_axes=(k_axes, 0, 0, 0))(kernel, X, Y, sigma)
+    K = jax.vmap(gram_one, in_axes=(k_axes, 0, 0))(kernel, X, sigma)
+    L, alpha = _factor_and_solve(K, Y, use_crout)
+    df = -0.5 * jnp.sum(Y * alpha, axis=(1, 2))
+    cp = -jnp.sum(jnp.log(jnp.diagonal(L, axis1=1, axis2=2)), axis=1)
+    return df + cp - n / 2.0 * math.log(2 * math.pi) * Y.shape[-1]
 
 
 def fit_batched_sharded(
@@ -161,10 +167,15 @@ def fit_batched_sharded(
     axis: str = "fleet",
     jitter: float = 0.0,
     batched_kernel: bool = False,
+    use_crout: bool | None = None,
 ) -> BatchedGP:
     """Fleet training with the BATCH axis sharded over a device mesh — the
     expert-parallel analogue for many independent GPs (each chip trains its
-    shard of models; no collectives needed until results are read)."""
+    shard of models; no collectives needed until results are read).
+
+    ``shard_map`` rather than GSPMD auto-partitioning: each device runs the
+    complete per-shard fit locally — including the pallas fleet factorizer,
+    which a partitioner cannot split — with zero communication."""
     import numpy as np
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -189,12 +200,31 @@ def fit_batched_sharded(
             lambda leaf: jax.device_put(jnp.asarray(leaf), sharding), kernel
         )
 
-    # the vmapped fit is embarrassingly parallel over the sharded batch
-    # axis; jit + sharded inputs let GSPMD place each model's Gram/Cholesky
-    # on its owner device with zero communication
+    k_axes = _kernel_in_axes(kernel, batched_kernel)
+    # a single spec acts as a prefix pytree for the whole kernel subtree
+    # (a tree_map-built spec tree would re-construct the kernel class with
+    # PartitionSpec leaves and trip parameter validation)
+    kspec = P(axis) if batched_kernel else P()
+    bspec = P(axis, None, None)
+
+    def local_fit(k, x, y, s):
+        def gram_one(kk, xx, ss):
+            return linalg.add_diagonal(kermod.gram(kk, xx), ss**2 + jitter)
+
+        K = jax.vmap(gram_one, in_axes=(k_axes, 0, 0))(k, x, s)
+        return _factor_and_solve(K, y, use_crout)
+
     fit = jax.jit(
-        lambda k, x, y, s: fit_batched(
-            k, x, y, s, jitter=jitter, batched_kernel=batched_kernel
+        jax.shard_map(
+            local_fit,
+            mesh=mesh,
+            in_specs=(kspec, bspec, bspec, P(axis)),
+            out_specs=(bspec, bspec),
+            check_vma=False,
         )
     )
-    return fit(kernel, X, Y, sigma)
+    L, alpha = fit(kernel, X, Y, sigma)
+    return BatchedGP(
+        kernel=kernel, X=X, Y=Y, sigma=sigma, alpha=alpha, L=L,
+        batched_kernel=batched_kernel,
+    )

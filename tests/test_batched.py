@@ -207,3 +207,33 @@ class TestCroutFleet:
         L1, X1 = pb.factor_solve_fused(junk, Bm, interpret=True)
         np.testing.assert_array_equal(np.asarray(L0), np.asarray(L1))
         np.testing.assert_array_equal(np.asarray(X0), np.asarray(X1))
+
+
+def test_fleet_sharded_crout_path():
+    """shard_map'd fleet fit with the pallas factorizer forced (interpret):
+    each device's local shard runs the fused kernel."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    X, Y = _fleet(B=8, n=128)
+    X = X.astype(jnp.float32)
+    Y = Y.astype(jnp.float32)
+    k = gpr_tpu.Gaussian(1.2, 0.9)
+    fleet = batched.fit_batched_sharded(k, X, Y, sigma=0.1, use_crout=True)
+    ref = batched.fit_batched(k, X, Y, sigma=0.1, use_crout=False)
+    rel = float(
+        np.linalg.norm(np.asarray(fleet.alpha - ref.alpha))
+        / np.linalg.norm(np.asarray(ref.alpha))
+    )
+    assert rel < 1e-3
+
+
+def test_mll_batched_crout_matches():
+    X, Y = _fleet(B=3, n=128)
+    X = X.astype(jnp.float32)
+    Y = Y.astype(jnp.float32)
+    k = gpr_tpu.Gaussian(1.2, 0.9)
+    ref = batched.mll_batched(k, X, Y, sigma=0.3, use_crout=False)
+    got = batched.mll_batched(k, X, Y, sigma=0.3, use_crout=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4)
