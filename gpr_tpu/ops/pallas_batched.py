@@ -388,8 +388,11 @@ def _fleet_kernel(a_ref, y_ref, l_ref, x_ref, *, n: int, p: int, q: int):
     x_ref[0] = jnp.concatenate(xs, axis=0)
 
 
-# whole-matrix state must fit VMEM: ~4 resident (n, n) f32 values
-_FLEET_FUSED_MAX_N = 768
+# whole-matrix state must fit VMEM: ~4 resident (n, n) f32 values.
+# GPR_FLEET_FUSED_MAX_N overrides (0 disables the fused path — benchmarking)
+_FLEET_FUSED_MAX_N = int(__import__("os").environ.get(
+    "GPR_FLEET_FUSED_MAX_N", 768
+))
 
 
 @functools.partial(jax.jit, static_argnames=("panel", "interpret"))
