@@ -55,8 +55,17 @@ def _factor_and_solve(K, Y, use_crout: bool | None):
     if use_crout:
         interp = jax.default_backend() != "tpu"
         if n <= pallas_batched._FLEET_FUSED_MAX_N:
-            # whole matrix fits VMEM: factor + solve in ONE pallas dispatch
-            return pallas_batched.factor_solve_fused(K, Y, interpret=interp)
+            # whole matrix fits VMEM: factor + solve in ONE pallas dispatch.
+            # panel trades VPU sweep cost (~n p^2 per matrix) against MXU
+            # GEMM granularity; GPR_FLEET_PANEL for on-chip A/B.
+            import os
+
+            panel = int(os.environ.get("GPR_FLEET_PANEL", 128))
+            while n % panel:
+                panel //= 2
+            return pallas_batched.factor_solve_fused(
+                K, Y, panel=panel, interpret=interp
+            )
         L, W = pallas_batched.cholesky_batched(
             K, interpret=interp, return_winv=True
         )
