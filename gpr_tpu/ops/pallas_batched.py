@@ -109,9 +109,9 @@ def crout_chol_wi(
     if b != b2:
         raise ValueError(f"crout_chol_wi: square tiles required, got {A.shape}")
     if g <= 0:
-        # 3 resident (g, b, b) f32 buffers + loop temps; stay well under
-        # the ~16 MB scoped VMEM
-        g = max(1, min(B, (4 * 1024 * 1024) // (b * b * 4)))
+        # 3 resident (g, b, b) f32 carries + in/out blocks + loop temps;
+        # ~2 MB per carry keeps the peak well under the ~16 MB VMEM
+        g = max(1, min(B, (2 * 1024 * 1024) // (b * b * 4)))
         while B % g:
             g -= 1
     if B % g:
