@@ -660,3 +660,52 @@ class TestPallasSolveNarrow:
         np.testing.assert_allclose(
             xs, sla.cho_solve((Lh, True), b), atol=1e-4
         )
+
+
+class TestInplaceCholesky:
+    """ops/inplace_chol.py: the in-place wide-panel schedule (interpret)."""
+
+    def _spd(self, n, seed=0):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        G = rng.standard_normal((n, n))
+        return jnp.asarray(G @ G.T + n * np.eye(n), jnp.float32)
+
+    def test_matches_numpy(self):
+        import numpy as np
+        from gpr_tpu.ops import inplace_chol as ic
+
+        A = self._spd(1024)
+        L = ic.cholesky_inplace(A, interpret=True)
+        ref = np.linalg.cholesky(np.asarray(A, np.float64))
+        np.testing.assert_allclose(np.asarray(L), ref, rtol=0, atol=5e-3)
+        assert not np.any(np.triu(np.asarray(L), 1))
+
+    def test_reads_lower_only(self):
+        import numpy as np
+        from gpr_tpu.ops import inplace_chol as ic
+
+        A = self._spd(512, seed=3)
+        junk = jnp.where(jnp.tril(jnp.ones(A.shape)) > 0, A, 1234.0)
+        L0 = ic.cholesky_inplace(A, interpret=True)
+        L1 = ic.cholesky_inplace(junk, interpret=True)
+        np.testing.assert_array_equal(np.asarray(L0), np.asarray(L1))
+
+    def test_rank_update_inplace(self):
+        import numpy as np
+        from gpr_tpu.ops import inplace_chol as ic
+
+        rng = np.random.default_rng(1)
+        S = jnp.asarray(rng.standard_normal((1024, 1024)), jnp.float32)
+        rows = np.asarray([2, 3, 3], np.int32)
+        cols = np.asarray([2, 2, 3], np.int32)
+        kcols = np.asarray([0, 1], np.int32)
+        out = ic.rank_update_inplace(S, rows, cols, kcols, bm=256, bk=256,
+                                     interpret=True)
+        ref = np.asarray(S, np.float64)
+        P = ref[:, :512]
+        for (i, j) in [(2, 2), (3, 2), (3, 3)]:
+            ref[i*256:(i+1)*256, j*256:(j+1)*256] -= (
+                P[i*256:(i+1)*256] @ P[j*256:(j+1)*256].T
+            )
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=2e-2)
