@@ -282,15 +282,28 @@ def fit(
         # are computed/written (half the Gram flops and HBM writes) — the
         # sole consumer is safe_cholesky's potrf('L')-contract factorization.
         tril = X.shape[0] >= linalg._BLOCKED_MIN_N
+        # (form, sigma, scale, third-param) per fused-tile kernel family;
+        # GaussianExp is the Gaussian form under its log parameterization
+        disp = None
         if isinstance(kernel, kermod.Gaussian):
-            K = pallas_gram.gram_pallas(
-                X, X, kernel.sigma, kernel.scale, diag=noise,
-                interpret=interp, tril=tril,
-            ).astype(X.dtype)
+            disp = ("gaussian", kernel.sigma, kernel.scale, 1.0)
+        elif isinstance(kernel, kermod.GaussianExp):
+            disp = ("gaussian", jnp.exp(kernel.sigma), jnp.exp(kernel.scale), 1.0)
         elif isinstance(kernel, kermod.RationalQuadratic):
+            disp = ("rq", kernel.sigma, kernel.scale, kernel.alpha)
+        elif isinstance(kernel, kermod.Matern12):
+            disp = ("matern12", kernel.sigma, kernel.scale, 1.0)
+        elif isinstance(kernel, kermod.Matern32):
+            disp = ("matern32", kernel.sigma, kernel.scale, 1.0)
+        elif isinstance(kernel, kermod.Matern52):
+            disp = ("matern52", kernel.sigma, kernel.scale, 1.0)
+        elif isinstance(kernel, kermod.Periodic):
+            disp = ("periodic", kernel.sigma, kernel.scale, kernel.b)
+        if disp is not None:
+            form, sg, sc, third = disp
             K = pallas_gram.gram_pallas(
-                X, X, kernel.sigma, kernel.scale, kernel.alpha, diag=noise,
-                form="rq", interpret=interp, tril=tril,
+                X, X, sg, sc, third, diag=noise,
+                form=form, interpret=interp, tril=tril,
             ).astype(X.dtype)
     if K is None:
         K = kermod.gram(kernel, X)

@@ -35,30 +35,52 @@ def _pad_axis(a: jax.Array, axis: int, mult: int) -> jax.Array:
     return jnp.pad(a, widths)
 
 
-def _tile_body(params_ref, x, y, *, form: str, bm: int, bn: int, ti, tj):
+def _tile_body(params_ref, x, y, *, form: str, bm: int, bn: int, ti, tj,
+               d: int = 0):
     """d2 = |x|^2 + |y|^2 - 2 x.y for one (bm, bn) tile, then the RBF form.
 
     ``params_ref[3]`` is an optional diagonal offset added where the global
     row == column (``K + diag_add * I`` fused into the same HBM pass — the
     scatter-based ``add_diagonal`` costs ~11 ms at n=16k on v5e)."""
-    xy = jax.lax.dot_general(
-        x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # v5e default rounds to bf16
-    )
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
-    xx = jnp.sum(xf * xf, axis=1, keepdims=True)  # (bm, 1)
-    yy = jnp.sum(yf * yf, axis=1, keepdims=True)  # (bn, 1)
-    d2 = jnp.maximum(xx + yy.T - 2.0 * xy, 0.0)
     sigma = params_ref[0]
     scale = params_ref[1]
-    if form == "gaussian":
+    if form == "periodic":
+        # sum_d sin^2(b (x_d - y_d)) — per-feature differences, no GEMM
+        # identity exists; the static feature loop stays VPU full-tile
+        b = params_ref[2]
+        s2 = jnp.zeros((bm, bn), jnp.float32)
+        for j in range(d or x.shape[1]):
+            s = jnp.sin(b * (xf[:, j : j + 1] - yf[:, j : j + 1].T))
+            s2 = s2 + s * s
+        d2 = s2  # reuse the distance slot: exp(-0.5 d2 / sigma^2) below
+    else:
+        xy = jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # v5e default rounds to bf16
+        )
+        xx = jnp.sum(xf * xf, axis=1, keepdims=True)  # (bm, 1)
+        yy = jnp.sum(yf * yf, axis=1, keepdims=True)  # (bn, 1)
+        d2 = jnp.maximum(xx + yy.T - 2.0 * xy, 0.0)
+    if form in ("gaussian", "periodic"):
         val = (scale * scale) * jnp.exp(-0.5 * d2 / (sigma * sigma))
     elif form == "rq":
         alpha = params_ref[2]
         val = (scale * scale) * (
             1.0 + 0.5 * d2 / (sigma * sigma * alpha)
         ) ** (-alpha)
+    elif form in ("matern12", "matern32", "matern52"):
+        r = jnp.sqrt(d2)
+        if form == "matern12":
+            val = (scale * scale) * jnp.exp(-r / sigma)
+        elif form == "matern32":
+            a = jnp.float32(3.0**0.5) * r / sigma
+            val = (scale * scale) * (1.0 + a) * jnp.exp(-a)
+        else:
+            a = jnp.float32(5.0**0.5) * r / sigma
+            val = (scale * scale) * (1.0 + a + a * a / 3.0) * jnp.exp(-a)
     else:  # raw squared distances
         val = d2
     rows = ti * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
@@ -67,7 +89,8 @@ def _tile_body(params_ref, x, y, *, form: str, bm: int, bn: int, ti, tj):
 
 
 def _gram_tril_kernel(
-    params_ref, ri_ref, ci_ref, x_ref, y_ref, o_ref, *, form: str, bm: int, bn: int
+    params_ref, ri_ref, ci_ref, x_ref, y_ref, o_ref, *, form: str, bm: int,
+    bn: int, d: int = 0
 ):
     """Lower-triangle tile t -> (ri[t], ci[t]): upper tiles are never
     visited — half the flops AND half the HBM writes of the dense grid.
@@ -75,14 +98,15 @@ def _gram_tril_kernel(
     honoring the potrf('L') read contract (ops.blocked.cholesky_blocked)."""
     t = pl.program_id(0)
     o_ref[:] = _tile_body(
-        params_ref, x_ref[:], y_ref[:], form=form, bm=bm, bn=bn,
+        params_ref, x_ref[:], y_ref[:], form=form, bm=bm, bn=bn, d=d,
         ti=ri_ref[t], tj=ci_ref[t],
     )
 
 
-def _gram_kernel(params_ref, x_ref, y_ref, o_ref, *, form: str, bm: int, bn: int):
+def _gram_kernel(params_ref, x_ref, y_ref, o_ref, *, form: str, bm: int,
+                 bn: int, d: int = 0):
     o_ref[:] = _tile_body(
-        params_ref, x_ref[:], y_ref[:], form=form, bm=bm, bn=bn,
+        params_ref, x_ref[:], y_ref[:], form=form, bm=bm, bn=bn, d=d,
         ti=pl.program_id(0), tj=pl.program_id(1),
     )
 
@@ -144,7 +168,7 @@ def gram_pallas(
         ci = jnp.asarray(ci, jnp.int32)
         ntiles = int(ri.shape[0])
         out = pl.pallas_call(
-            functools.partial(_gram_tril_kernel, form=form, bm=bm, bn=bn),
+            functools.partial(_gram_tril_kernel, form=form, bm=bm, bn=bn, d=d),
             out_shape=jax.ShapeDtypeStruct((np_, mp), jnp.float32),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
@@ -170,7 +194,7 @@ def gram_pallas(
         return out[:n, :m]
 
     out = pl.pallas_call(
-        functools.partial(_gram_kernel, form=form, bm=bm, bn=bn),
+        functools.partial(_gram_kernel, form=form, bm=bm, bn=bn, d=d),
         out_shape=jax.ShapeDtypeStruct((np_, mp), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -709,3 +709,52 @@ class TestInplaceCholesky:
                 P[i*256:(i+1)*256] @ P[j*256:(j+1)*256].T
             )
         np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=2e-2)
+
+
+class TestPallasGramForms:
+    """Fused tile Gram for every stationary kernel family (interpret)."""
+
+    def test_forms_match_reference_gram(self):
+        import numpy as np
+        import gpr_tpu
+        from gpr_tpu.kernels import kernels as kermod
+        from gpr_tpu.ops import pallas_gram
+
+        rng = np.random.default_rng(5)
+        X = jnp.asarray(rng.standard_normal((200, 3)), jnp.float32)
+        cases = [
+            (gpr_tpu.Gaussian(1.3, 0.8), "gaussian", 1.0),
+            (kermod.RationalQuadratic(0.8, 1.1, 1.7), "rq", 1.7),
+            (kermod.Matern12(1.2, 0.9), "matern12", 1.0),
+            (kermod.Matern32(1.2, 0.9), "matern32", 1.0),
+            (kermod.Matern52(1.2, 0.9), "matern52", 1.0),
+            (kermod.Periodic(0.9, 1.7, 1.1), "periodic", 1.7),
+        ]
+        for k, form, third in cases:
+            ref = np.asarray(kermod.gram(k, X), np.float64)
+            got = pallas_gram.gram_pallas(
+                X, X, k.sigma, k.scale, third, form=form, interpret=True
+            )
+            np.testing.assert_allclose(np.asarray(got), ref, rtol=0,
+                                       atol=5e-5, err_msg=form)
+
+    def test_fit_dispatch_all_families(self):
+        import math
+        import numpy as np
+        from gpr_tpu.kernels import kernels as kermod
+        from gpr_tpu.gp import exact
+
+        rng = np.random.default_rng(7)
+        X = jnp.asarray(rng.standard_normal((150, 2)), jnp.float32)
+        Y = jnp.sin(X.sum(-1, keepdims=True))
+        ks = [
+            kermod.GaussianExp(math.log(1.3), math.log(0.8)),
+            kermod.Matern32(1.2, 0.9),
+            kermod.Periodic(0.9, 1.7, 1.1),
+        ]
+        for k in ks:
+            gp0 = exact.fit(k, X, Y, sigma=0.1, use_pallas_gram=False)
+            gp1 = exact.fit(k, X, Y, sigma=0.1, use_pallas_gram=True)
+            rel = float(jnp.abs(gp0.alpha - gp1.alpha).max()
+                        / jnp.abs(gp0.alpha).max())
+            assert rel < 2e-3, type(k).__name__
