@@ -65,10 +65,35 @@ def add_diagonal(A: jax.Array, value) -> jax.Array:
 _BLOCKED_MIN_N = 1024
 
 
+def _chol_schedule() -> str:
+    """Large-matrix factorization schedule: 'recursive' (ops/blocked.py,
+    the measured round-1 default) or 'inplace' (ops/inplace_chol.py, the
+    buffer-aliased wide-panel pallas chain).  GPR_CHOL_SCHEDULE overrides
+    for on-chip A/B."""
+    import os
+
+    return os.environ.get("GPR_CHOL_SCHEDULE", "recursive")
+
+
+def _inplace_usable(A: jax.Array) -> bool:
+    return (
+        A.ndim == 2
+        and A.dtype == jnp.float32
+        and A.shape[0] % 512 == 0
+        and _chol_schedule() == "inplace"
+    )
+
+
 def chol_lower(A: jax.Array) -> jax.Array:
     """Lower Cholesky factor, dispatching to the blocked kernel for large
     single matrices (batched inputs use the stock primitive)."""
     if A.ndim == 2 and A.shape[0] >= _BLOCKED_MIN_N:
+        if _inplace_usable(A):
+            from .inplace_chol import cholesky_inplace
+
+            return cholesky_inplace(
+                A, interpret=jax.default_backend() != "tpu"
+            )
         from .blocked import cholesky_blocked
 
         return cholesky_blocked(A)
@@ -131,7 +156,14 @@ def _safe_cholesky_impl(A, initial_jitter, max_tries):
     # factor forces the concat-assembly tree to materialize (+~4.3 ms at
     # n=16k on v5e, trace-measured); assembling once after the loop lets
     # XLA elide or fuse the concats into the consumers/outputs.
-    if A.ndim == 2 and A.shape[0] >= _BLOCKED_MIN_N:
+    if A.ndim == 2 and A.shape[0] >= _BLOCKED_MIN_N and _inplace_usable(A):
+        from .inplace_chol import cholesky_inplace
+
+        interp = jax.default_backend() != "tpu"
+        factor = lambda M: cholesky_inplace(M, interpret=interp)
+        ok_of = _diag_ok  # a failed pivot NaN-poisons every later panel
+        finish = lambda L: L
+    elif A.ndim == 2 and A.shape[0] >= _BLOCKED_MIN_N:
         from .blocked import assemble_blocks, cholesky_blocked_blocks, last_leaf
 
         factor = cholesky_blocked_blocks

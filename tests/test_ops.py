@@ -758,3 +758,23 @@ class TestPallasGramForms:
             rel = float(jnp.abs(gp0.alpha - gp1.alpha).max()
                         / jnp.abs(gp0.alpha).max())
             assert rel < 2e-3, type(k).__name__
+
+    def test_safe_cholesky_inplace_schedule(self, monkeypatch):
+        """safe_cholesky through GPR_CHOL_SCHEDULE=inplace (interpret):
+        factor matches the recursive schedule, retry semantics intact."""
+        import numpy as np
+        from gpr_tpu.ops import linalg
+
+        monkeypatch.setenv("GPR_CHOL_SCHEDULE", "inplace")
+        rng = np.random.default_rng(11)
+        G = rng.standard_normal((1024, 1024))
+        A = jnp.asarray(G @ G.T + 1024 * np.eye(1024), jnp.float32)
+        L, j = linalg.safe_cholesky(A)
+        assert float(j) == 0.0
+        ref = np.linalg.cholesky(np.asarray(A, np.float64))
+        np.testing.assert_allclose(np.asarray(L), ref, rtol=0, atol=5e-3)
+        # a singular matrix must escalate to a successful jittered factor
+        bad = jnp.zeros((1024, 1024), jnp.float32)
+        Lb, jb = linalg.safe_cholesky(bad)
+        assert float(jb) > 0.0
+        assert bool(jnp.all(jnp.isfinite(Lb)))
