@@ -37,7 +37,7 @@ from .gp.batched import fit_batched, mll_batched, predict_batched  # noqa: F401
 from .gp import likelihood  # noqa: F401
 from .inference.optimize import fit_map, fit_mle  # noqa: F401
 from .inference.hmc import HMCConfig, sample_hmc, sample_hmc_chunked  # noqa: F401
-from .inference.nuts import NUTSConfig, sample_nuts  # noqa: F401
+from .inference.nuts import NUTSConfig, sample_nuts, sample_nuts_chunked  # noqa: F401
 from .utils import config  # noqa: F401
 
 __version__ = "0.1.0"

@@ -295,3 +295,82 @@ def sample_nuts(
         step_size=eps2,
         inv_mass=inv_mass,
     )
+
+
+def sample_nuts_chunked(
+    logp_fn: Callable,
+    z0,
+    key,
+    cfg: NUTSConfig = NUTSConfig(),
+    chunk_size: int = 16,
+    cross_chain_mean: Optional[Callable] = None,
+    cross_chain_moments: Optional[Callable] = None,
+) -> NUTSResult:
+    """``sample_nuts`` with warmup and sampling python-unrolled in jitted
+    chunks — the remote-tunnel production path (``lax.scan`` over a NUTS
+    transition compiles pathologically there; see
+    ``hmc.sample_hmc_chunked`` for the measured contract).  Same key flow
+    as ``sample_nuts``; adapted step size / mass are traced arguments so
+    repeat calls reuse the cached chunk programs."""
+    from .hmc import _adapt_phase, _cached_program, init_chains
+
+    z0 = jnp.atleast_2d(jnp.asarray(z0))
+    n_chains, dim = z0.shape
+    logp_grad_fn = jax.value_and_grad(logp_fn)
+    states = init_chains(logp_fn, z0)
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    def transition(s, k, e, im):
+        return _nuts_transition(logp_grad_fn, s, k, e, im, cfg)
+
+    states, eps2, inv_mass = _adapt_phase(
+        logp_grad_fn, states, k1, k2, cfg, dim, z0.dtype,
+        cross_chain_mean, cross_chain_moments, transition=transition,
+        unroll_chunk=chunk_size, cache_anchor=logp_fn,
+    )
+
+    def make_chunk_fn(length: int):
+        def build():
+            def run(states, keys_chunk, eps, inv_mass):
+                zs, accs = [], []
+                for t in range(length):
+                    keys = jax.random.split(keys_chunk[t], n_chains)
+                    states, a = jax.vmap(
+                        lambda s, k: transition(s, k, eps, inv_mass)
+                    )(states, keys)
+                    zs.append(states.z)
+                    accs.append(a)
+                return states, jnp.stack(zs), jnp.stack(accs)
+
+            return run
+
+        return _cached_program(
+            logp_fn, ("nuts_sample", length, n_chains, cfg), build
+        )
+
+    keys = jax.random.split(k3, cfg.num_samples)
+    chunk_size = max(1, min(chunk_size, cfg.num_samples))
+    n_full, rem = divmod(cfg.num_samples, chunk_size)
+    chunk_fn = make_chunk_fn(chunk_size)
+    zs_parts, acc_parts = [], []
+    for c in range(n_full):
+        states, zs_c, acc_c = chunk_fn(
+            states, keys[c * chunk_size : (c + 1) * chunk_size], eps2, inv_mass
+        )
+        zs_parts.append(zs_c)
+        acc_parts.append(acc_c)
+    if rem:
+        states, zs_c, acc_c = make_chunk_fn(rem)(
+            states, keys[-rem:], eps2, inv_mass
+        )
+        zs_parts.append(zs_c)
+        acc_parts.append(acc_c)
+
+    zs = jnp.concatenate(zs_parts, axis=0)
+    accepts = jnp.concatenate(acc_parts, axis=0)
+    return NUTSResult(
+        samples=jnp.swapaxes(zs, 0, 1),
+        accept_rate=jnp.mean(accepts, axis=0),
+        step_size=eps2,
+        inv_mass=inv_mass,
+    )

@@ -135,3 +135,33 @@ def test_nuts_windowed_warmup_metric():
     assert im[1] / im[0] > (400**2) / 4
     s = np.asarray(res.samples).reshape(-1, 2)
     np.testing.assert_allclose(s.std(0), np.asarray(scales), rtol=0.3)
+
+
+def test_nuts_chunked_matches_scan():
+    """sample_nuts_chunked reproduces sample_nuts over a short run (same
+    key flow; unrolled programs round differently, so short runs only —
+    see test_hmc.test_chunked_sampler_matches_scan)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import gpr_tpu as gt
+    from gpr_tpu.inference import hmc as hm
+    from gpr_tpu.inference import nuts as nt
+
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.standard_normal((16, 2)))
+    Y = jnp.asarray(np.sin(np.asarray(X[:, 0])))[:, None]
+    logp = hm.make_gp_log_posterior(gt.Gaussian(1.0, 1.0), X, Y, sigma=0.1)
+    z0 = jnp.zeros((2, 2))
+    key = jax.random.PRNGKey(7)
+    cfg = nt.NUTSConfig(num_warmup=16, num_samples=7, max_depth=4)
+
+    r_scan = nt.sample_nuts(logp, z0, key, cfg)
+    r_chunk = nt.sample_nuts_chunked(logp, z0, key, cfg, chunk_size=3)
+
+    np.testing.assert_allclose(
+        np.asarray(r_chunk.samples), np.asarray(r_scan.samples), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        float(r_chunk.step_size), float(r_scan.step_size), rtol=1e-8
+    )
