@@ -30,3 +30,18 @@ def rng():
     import numpy as np
 
     return np.random.default_rng(42)
+
+
+def pytest_collection_modifyitems(session, config, items):
+    """Run the sharded-sampler module FIRST.
+
+    jaxlib 0.9.0's CPU compiler segfaults (reproducibly, in
+    backend_compile_and_load) when the suite's largest program — the
+    shard_map'd python-unrolled warmup chunk of
+    test_sharded.py::TestShardedChunked — is compiled after ~240 tests of
+    accumulated compiler state; the same test passes in a fresh process.
+    Compiling the biggest programs first sidesteps the crash without
+    changing any test."""
+    front = [it for it in items if "test_sharded" in it.nodeid]
+    rest = [it for it in items if "test_sharded" not in it.nodeid]
+    items[:] = front + rest
