@@ -49,9 +49,9 @@ def _factor_and_solve(K, Y, use_crout: bool | None):
     panel-stepped above it); False pins XLA's batched potrf."""
     from ..ops import pallas_batched
 
-    B, n = K.shape[0], K.shape[1]
+    n = K.shape[1]
     if use_crout is None:
-        use_crout = pallas_batched.batched_usable(B, n, K.dtype)
+        use_crout = pallas_batched.batched_usable(n, K.dtype)
     if use_crout:
         interp = jax.default_backend() != "tpu"
         if n <= pallas_batched._FLEET_FUSED_MAX_N:
@@ -61,7 +61,9 @@ def _factor_and_solve(K, Y, use_crout: bool | None):
             import os
 
             panel = int(os.environ.get("GPR_FLEET_PANEL", 128))
-            while n % panel:
+            if panel <= 0:
+                panel = 128
+            while n % panel and panel > 16:
                 panel //= 2
             return pallas_batched.factor_solve_fused(
                 K, Y, panel=panel, interpret=interp
@@ -144,9 +146,15 @@ def mll_batched(
     kernel, X, Y, sigma, batched_kernel: bool = False,
     use_crout: bool | None = None,
 ) -> jax.Array:
-    """Per-GP scalar log marginal likelihoods (B,) — e.g. for scoring a
-    hyperparameter grid in one shot.  Rides the same fleet factorization
-    dispatch as :func:`fit_batched`."""
+    """Per-GP scalar log marginal likelihoods (B,), matching
+    ``likelihood.mll_scalar``'s convention per fleet member (datafit summed
+    over output dims; complexity and constant counted ONCE) — e.g. for
+    scoring a hyperparameter grid in one shot.
+
+    ``use_crout=None`` resolves to False here (unlike ``fit_batched``):
+    the pallas fleet factorizer has no autodiff rule, and mll is the
+    function users differentiate.  Pass ``use_crout=True`` explicitly for
+    non-differentiated grid scoring on TPU."""
     import math
 
     X = jnp.asarray(X)
@@ -161,10 +169,10 @@ def mll_batched(
         return linalg.add_diagonal(kermod.gram(k, x), s**2)
 
     K = jax.vmap(gram_one, in_axes=(k_axes, 0, 0))(kernel, X, sigma)
-    L, alpha = _factor_and_solve(K, Y, use_crout)
+    L, alpha = _factor_and_solve(K, Y, False if use_crout is None else use_crout)
     df = -0.5 * jnp.sum(Y * alpha, axis=(1, 2))
     cp = -jnp.sum(jnp.log(jnp.diagonal(L, axis1=1, axis2=2)), axis=1)
-    return df + cp - n / 2.0 * math.log(2 * math.pi) * Y.shape[-1]
+    return df + cp - n / 2.0 * math.log(2 * math.pi)
 
 
 def fit_batched_sharded(

@@ -258,8 +258,12 @@ def cholesky_inplace(
     ``b``: panel width (diagonal factorization granularity).  Requires
     n % w == 0 and w % b == 0."""
     n = A.shape[0]
-    if n % w or w % b:
-        raise ValueError(f"cholesky_inplace: n={n} needs n%{w}==0, {w}%{b}==0")
+    if n % w or w % b or (w > 512 and w % 512):
+        # w > 512 runs the trailing SYRK on 512-tiles, so w must align
+        raise ValueError(
+            f"cholesky_inplace: n={n}, w={w}, b={b} need n%w==0, w%b==0, "
+            "and w a multiple of 512 when w > 512"
+        )
     if precision is None:
         precision = matmul_precision()
     ntb = n // b  # panel-tile count

@@ -44,15 +44,16 @@ from ..utils.config import matmul_precision
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _crout_wi_kernel(a_ref, l_ref, w_ref, *, g: int, b: int):
-    """Factor ``g`` SPD (b, b) tiles and emit their inverses.
+def _crout_sweep(S0, g: int, b: int):
+    """(L, W = L^{-1}) for ``g`` SPD (b, b) tiles held as one (g, b, b)
+    value — THE fleet Cholesky–Crout sweep (single implementation; the
+    fused kernel wraps it with g=1).
 
-    One Cholesky–Crout sweep: column ``j``'s scaled pivot column comes
-    from a dynamic lane slice; the trailing update and the inverse's
-    forward-substitution step are full-tile masked rank-1 ops, so every
-    loop iteration has identical static shapes (fori_loop-friendly) and
-    the whole sweep vectorizes across the batch dimension ``g``."""
-    S0 = a_ref[:]  # (g, b, b)
+    Column ``j``'s scaled pivot column comes from a dynamic lane slice;
+    the trailing update and the inverse's forward-substitution step are
+    full-tile masked rank-1 ops, so every loop iteration has identical
+    static shapes (fori_loop-friendly) and the whole sweep vectorizes
+    across the batch dimension ``g``."""
     rows = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
     cols = lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
 
@@ -93,6 +94,11 @@ def _crout_wi_kernel(a_ref, l_ref, w_ref, *, g: int, b: int):
         return S, L, W
 
     _, L, W = lax.fori_loop(0, b, step, (S0, L0, W0))
+    return L, W
+
+
+def _crout_wi_kernel(a_ref, l_ref, w_ref, *, g: int, b: int):
+    L, W = _crout_sweep(a_ref[:], g, b)
     l_ref[:] = L
     w_ref[:] = W
 
@@ -138,7 +144,7 @@ def crout_chol_wi(
     )(A)
 
 
-def batched_usable(B: int, n: int, dtype, panel: int = 128) -> bool:
+def batched_usable(n: int, dtype, panel: int = 128) -> bool:
     """The batched panel factorizer applies to f32 fleets with
     panel-aligned n on a real TPU (interpret mode is for tests)."""
     return (
@@ -212,6 +218,8 @@ def cho_solve_batched(
     (optional): the (B, nb, p, p) diagonal-block inverses from
     ``cholesky_batched(..., return_winv=True)``."""
     Bsz, n, _ = L.shape
+    if n % panel:
+        raise ValueError(f"cho_solve_batched: n={n} not a multiple of panel={panel}")
     nb = n // panel
     prec = matmul_precision()
     if winv is not None:
@@ -278,37 +286,11 @@ def cho_solve_batched(
 # ---------------------------------------------------------------------------
 
 def _crout_sweep_2d(S0, p, dtype):
-    """(L, W=L^{-1}) of one SPD (p, p) tile as a fori_loop Crout sweep.
-
-    2-D value-level version of ``_crout_wi_kernel``'s sweep: every loop
-    step is full-tile masked VPU work with static shapes, and the inverse
-    accumulates by a broadcast-multiply row reduction (no in-kernel
-    dot_general)."""
-    rows = lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    cols = lax.broadcasted_iota(jnp.int32, (1, p), 1)
-    low = jnp.where(rows >= cols, S0, 0.0)
-    S0 = low + jnp.where(rows > cols, S0, 0.0).T
-    L0 = jnp.zeros((p, p), dtype)
-    W0 = jnp.zeros((p, p), dtype)
-
-    def step(j, carry):
-        S, L, W = carry
-        piv = lax.dynamic_slice(S, (j, j), (1, 1))
-        rd = lax.rsqrt(jnp.maximum(piv, 0.0))
-        colj = lax.dynamic_slice(S, (0, j), (p, 1)) * rd
-        colj = jnp.where(rows >= j, colj, 0.0)
-        L = jnp.where(cols == j, colj, L)
-        colu = jnp.where(rows > j, colj, 0.0)
-        S = S - colu * colu.T
-        lrow = lax.dynamic_slice(L, (j, 0), (1, p))
-        lrow = jnp.where(cols < j, lrow, 0.0)
-        acc = jnp.sum(lrow.T * W, axis=0, keepdims=True)  # (1, p)
-        wrow = -acc * rd + jnp.where(cols == j, rd, 0.0)
-        W = jnp.where(rows == j, wrow, W)
-        return S, L, W
-
-    _, L, W = lax.fori_loop(0, p, step, (S0, L0, W0))
-    return L, W
+    """(L, W=L^{-1}) of one SPD (p, p) tile: the shared fleet sweep with a
+    unit batch axis."""
+    del dtype
+    L, W = _crout_sweep(S0[None], 1, p)
+    return L[0], W[0]
 
 
 def _fleet_kernel(a_ref, y_ref, l_ref, x_ref, *, n: int, p: int, q: int):
@@ -318,7 +300,11 @@ def _fleet_kernel(a_ref, y_ref, l_ref, x_ref, *, n: int, p: int, q: int):
     values; the only HBM traffic is one read of (A, Y) and one write of
     (L, X) per matrix."""
     dtype = a_ref.dtype
-    prec = matmul_precision()
+    # Mosaic supports only the DEFAULT and HIGHEST dot precisions
+    # (pallas_syrk.py:44-49); the 'high' tier string would be rejected or
+    # silently degraded.  The fleet regime is latency-bound, so HIGHEST
+    # (bf16x6, exact f32) costs nothing measurable here.
+    prec = _HI
     nb = n // p
     rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     cols = lax.broadcasted_iota(jnp.int32, (1, n), 1)
@@ -407,7 +393,7 @@ def factor_solve_fused(
     inter-panel HBM round-trips, no per-stage dispatches."""
     B, n, n2 = A.shape
     q = Y.shape[-1]
-    if n != n2 or n % panel or Y.shape[:2] != (B, n):
+    if n != n2 or n % panel or Y.ndim != 3 or Y.shape[:2] != (B, n):
         raise ValueError(f"factor_solve_fused: bad shapes {A.shape} {Y.shape}")
     kernel = functools.partial(_fleet_kernel, n=n, p=panel, q=q)
     return pl.pallas_call(

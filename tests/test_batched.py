@@ -237,3 +237,33 @@ def test_mll_batched_crout_matches():
     ref = batched.mll_batched(k, X, Y, sigma=0.3, use_crout=False)
     got = batched.mll_batched(k, X, Y, sigma=0.3, use_crout=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4)
+
+
+def test_mll_batched_multioutput_matches_scalar():
+    """mll_batched at q>1 follows likelihood.mll_scalar's convention
+    (datafit summed over outputs; complexity + constant once)."""
+    rng = np.random.default_rng(9)
+    X = rng.standard_normal((3, 40, 2))
+    Y = np.sin(X.sum(-1, keepdims=True)) + np.stack(
+        [np.zeros((3, 40)), 0.1 * rng.standard_normal((3, 40))], axis=-1
+    )[..., 0:2] * 0 + rng.standard_normal((3, 40, 2)) * 0.1
+    k = gpr_tpu.Gaussian(1.1, 0.9)
+    got = batched.mll_batched(k, jnp.asarray(X), jnp.asarray(Y), sigma=0.2)
+    for b in range(3):
+        ref = float(lk.mll_scalar(k, X[b], Y[b], 0.2))
+        np.testing.assert_allclose(float(got[b]), ref, rtol=1e-10)
+
+
+def test_mll_batched_grad():
+    """mll_batched must stay differentiable by default (hyperparameter
+    optimization is its primary use)."""
+    import jax
+
+    X, Y = _fleet(B=2, n=20)
+
+    def obj(log_sigma):
+        k = gpr_tpu.Gaussian(jnp.exp(log_sigma), 1.0)
+        return jnp.sum(batched.mll_batched(k, X, Y, sigma=0.1))
+
+    g = jax.grad(obj)(jnp.asarray(0.3))
+    assert bool(jnp.isfinite(g))
