@@ -96,6 +96,11 @@ class MiniDicom:
                     "for full transfer-syntax support"
                 )
             if vr in _LONG_VRS:
+                if pos + 12 > len(data):
+                    raise ValueError(
+                        f"{path}: truncated element header at {pos} "
+                        f"(tag {group:04x},{elem:04x})"
+                    )
                 (length,) = struct.unpack_from("<I", data, pos + 8)
                 hdr = 12
             else:
@@ -105,6 +110,11 @@ class MiniDicom:
                 raise ValueError(
                     f"{path}: undefined-length element (tag "
                     f"{group:04x},{elem:04x}) — install pydicom"
+                )
+            if pos + hdr + length > len(data):
+                raise ValueError(
+                    f"{path}: element value extends past end of file "
+                    f"(tag {group:04x},{elem:04x}, length {length})"
                 )
             value = data[pos + hdr : pos + hdr + length]
             elements.append(_Element((group, elem), vr, value))
@@ -116,7 +126,8 @@ class MiniDicom:
         for el in self.elements:
             value = el.value
             if len(value) % 2:  # DICOM values must be even-length
-                value = value + (b"\x00" if el.vr not in (b"DS", b"IS", b"LO", b"LT", b"SH", b"CS", b"PN", b"UI") else b" ")
+                # PS3.5: UI pads with NUL, text VRs pad with SPACE
+                value = value + (b"\x00" if el.vr not in (b"DS", b"IS", b"LO", b"LT", b"SH", b"CS", b"PN") else b" ")
             head = struct.pack("<HH", *el.tag) + el.vr
             if el.vr in _LONG_VRS:
                 head += b"\x00\x00" + struct.pack("<I", len(value))
@@ -371,19 +382,27 @@ def us_video_to_vtk(src_dir: str, dest_dir: str) -> int:
         if os.path.isfile(os.path.join(src_dir, f))
     )
     count = 0
+    seen = set()
     for path in files:
         ds = _Dataset(path)
-        instance = ds.get(TAG_INSTANCE_NUMBER, count)
+        instance = ds.get(TAG_INSTANCE_NUMBER, None)
+        if instance is None or instance in seen:
+            # missing InstanceNumber (or a collision with one): pick the
+            # next free slot instead of silently overwriting another file
+            instance = 0 if not seen else max(seen) + 1
+        seen.add(instance)
         frame = np.asarray(read_pixel_array(path), dtype=np.float64)
         if frame.ndim == 3 and frame.shape[-1] in (3, 4):  # RGB(A) -> gray
             frame = frame[..., :3].mean(axis=-1)
-        if frame.ndim == 3:  # multi-frame: write each
-            for k in range(frame.shape[0]):
-                imageio.write_image(
-                    imageio.Image(frame[k], (1, 1), (0, 0)),
-                    os.path.join(dest_dir, f"video_{instance}_{k}.vtk"),
-                )
-                count += 1
+        if frame.ndim == 3:
+            # multi-frame cine: ONE 3-D video_<N>.vtk per file, exactly
+            # like the reference (read_us_video.py writes the whole
+            # GetArrayFromImage volume in one sitk.WriteImage call)
+            imageio.write_image(
+                imageio.Image(frame, (1, 1, 1), (0, 0, 0)),
+                os.path.join(dest_dir, f"video_{instance}.vtk"),
+            )
+            count += frame.shape[0]
             continue
         imageio.write_image(
             imageio.Image(frame, (1, 1), (0, 0)),

@@ -232,7 +232,8 @@ def _split_chain_keys(key_t, n_local: int, shard_ctx: Optional[ShardCtx]):
 
 def _warmup_scan(logp_grad_fn, states, key, eps0, inv_mass, cfg, n_steps,
                  target, cross_chain_mean=None, unroll_chunk: int = 0,
-                 cache_anchor=None, transition=None, shard_ctx=None):
+                 cache_anchor=None, transition=None, shard_ctx=None,
+                 transition_key=None):
     """Warmup with shared dual-averaged step size across all chains (the
     adaptation statistic is the mean acceptance over chains; with a mesh the
     mean additionally runs over devices via psum — see sample_hmc_sharded).
@@ -327,7 +328,16 @@ def _warmup_scan(logp_grad_fn, states, key, eps0, inv_mass, cfg, n_steps,
                 )
 
             ccm = None if cross_chain_mean is None else id(cross_chain_mean)
-            tid = id(transition) if custom_transition else None
+            # a custom transition needs a STABLE cache key: id() of a fresh
+            # per-call closure would miss the cache every invocation and
+            # leak one program set per call (sample_nuts_chunked passes
+            # ("nuts", cfg))
+            if not custom_transition:
+                tid = None
+            elif transition_key is not None:
+                tid = transition_key
+            else:
+                tid = id(transition)
             return _cached_program(
                 cache_anchor,
                 ("warmup", length, states.z.shape[0], cfg, target, ccm, tid,
@@ -398,6 +408,7 @@ def _adapt_phase(
     cache_anchor=None,
     transition=None,
     shard_ctx=None,
+    transition_key=None,
 ):
     """Warmup shared by the scan, chunked AND NUTS samplers: dual-averaged
     step size + diagonal mass estimation (two-stage by default, Stan-style
@@ -410,9 +421,13 @@ def _adapt_phase(
         flat = zs.reshape(-1, dim)
         mean = jnp.mean(flat, axis=0)
         var = jnp.mean((flat - mean) ** 2, axis=0)
-        if cross_chain_moments is not None:
-            mean, var = cross_chain_moments(mean, var)
         w = flat.shape[0]
+        if cross_chain_moments is not None:
+            # the hook combines moments across devices AND scales the draw
+            # count: the Stan shrinkage weight must use the GLOBAL count or
+            # a sharded run regularizes world_size-times harder than the
+            # single-device run it is supposed to reproduce
+            mean, var, w = cross_chain_moments(mean, var, w)
         # regularized like Stan: shrink toward unit
         return (w / (w + 5.0)) * var + (5.0 / (w + 5.0)) * 1e-3
 
@@ -423,19 +438,19 @@ def _adapt_phase(
             logp_grad_fn, states, keys_w[0],
             jnp.asarray(cfg.initial_step_size, dtype), inv_mass, cfg,
             head, cfg.target_accept, cross_chain_mean, unroll_chunk, cache_anchor,
-            transition, shard_ctx,
+            transition, shard_ctx, transition_key,
         )
         for i, win in enumerate(wins):
             states, eps, zs_w, _ = _warmup_scan(
                 logp_grad_fn, states, keys_w[i + 1], eps, inv_mass, cfg,
                 win, cfg.target_accept, cross_chain_mean, unroll_chunk, cache_anchor,
-                transition, shard_ctx,
+                transition, shard_ctx, transition_key,
             )
             inv_mass = _estimate_mass(zs_w)
         states, eps2, _, _ = _warmup_scan(
             logp_grad_fn, states, keys_w[-1], eps, inv_mass, cfg,
             tail_n, cfg.target_accept, cross_chain_mean, unroll_chunk, cache_anchor,
-            transition, shard_ctx,
+            transition, shard_ctx, transition_key,
         )
     else:
         n_w1 = max(cfg.num_warmup // 2, 1)
@@ -445,7 +460,7 @@ def _adapt_phase(
         states, eps1, zs1, _ = _warmup_scan(
             logp_grad_fn, states, k1, jnp.asarray(cfg.initial_step_size, dtype),
             inv_mass, cfg, n_w1, cfg.target_accept, cross_chain_mean,
-            unroll_chunk, cache_anchor, transition, shard_ctx,
+            unroll_chunk, cache_anchor, transition, shard_ctx, transition_key,
         )
 
         # mass estimation from the second half of stage-1 draws (all chains)
@@ -455,7 +470,7 @@ def _adapt_phase(
         states, eps2, _, _ = _warmup_scan(
             logp_grad_fn, states, k2, eps1, inv_mass, cfg, n_w2,
             cfg.target_accept, cross_chain_mean, unroll_chunk, cache_anchor,
-            transition, shard_ctx,
+            transition, shard_ctx, transition_key,
         )
 
     return states, eps2, inv_mass

@@ -93,14 +93,22 @@ def _build_subtree(
     stack_p = jnp.zeros((levels, dim), z0.dtype)
 
     def body(i, carry):
-        (z, p, g, lp, sz, sp, lsw, prop, turning, diverged, acc, key) = carry
+        (z, p, g, lp, sz, sp, lsw, prop, turning, diverged, acc, nl, key) = carry
         z, p, g, lp = _leapfrog_step(
             logp_grad_fn, z, p, g, direction * eps, inv_mass
         )
         dH = (lp - _kinetic(p, inv_mass)) - H0
         dH = jnp.where(jnp.isnan(dH), -jnp.inf, dH)
         div_now = dH < -cfg.divergence_threshold
-        acc = acc + jnp.minimum(1.0, jnp.exp(dH))
+        # the Metropolis statistic counts only leaves of the live
+        # trajectory: once the subtree turned or diverged, later leaves
+        # exist only because the loop is static — Stan's recursion would
+        # never compute them, and letting them dilute the dual-averaging
+        # statistic biases the adapted step size exactly when trajectories
+        # terminate early
+        live = jnp.logical_not(jnp.logical_or(turning, diverged))
+        acc = acc + jnp.where(live, jnp.minimum(1.0, jnp.exp(dH)), 0.0)
+        nl = nl + jnp.where(live, 1.0, 0.0)
 
         # store leaf i into every stack level j with 2^j | i
         j_idx = jnp.arange(levels)
@@ -128,12 +136,12 @@ def _build_subtree(
             jnp.where(take, g, prop_g),
         )
 
-        valid = jnp.logical_not(jnp.logical_or(turning, diverged))
-        # freeze all accumulators once the subtree is invalid
-        lsw = jnp.where(valid, lsw_new, lsw)
-        turning = jnp.logical_or(turning, jnp.logical_and(valid, turning_now))
-        diverged = jnp.logical_or(diverged, jnp.logical_and(valid, div_now))
-        return (z, p, g, lp, sz, sp, lsw, prop, turning, diverged, acc, key)
+        # freeze all accumulators once the subtree is invalid (live is the
+        # validity at entry to this step, computed above)
+        lsw = jnp.where(live, lsw_new, lsw)
+        turning = jnp.logical_or(turning, jnp.logical_and(live, turning_now))
+        diverged = jnp.logical_or(diverged, jnp.logical_and(live, div_now))
+        return (z, p, g, lp, sz, sp, lsw, prop, turning, diverged, acc, nl, key)
 
     init = (
         z0,
@@ -147,12 +155,13 @@ def _build_subtree(
         jnp.asarray(False),
         jnp.asarray(False),
         jnp.asarray(0.0, z0.dtype),
+        jnp.asarray(0.0, z0.dtype),
         key,
     )
-    (z, p, g, lp, _, _, lsw, prop, turning, diverged, acc, _) = lax.fori_loop(
+    (z, p, g, lp, _, _, lsw, prop, turning, diverged, acc, nl, _) = lax.fori_loop(
         0, n_steps, body, init
     )
-    return z, p, g, lp, lsw, prop, turning, diverged, acc, n_steps
+    return z, p, g, lp, lsw, prop, turning, diverged, acc, nl
 
 
 def _nuts_transition(logp_grad_fn, state: ChainState, key, eps, inv_mass, cfg):
@@ -238,7 +247,7 @@ def _nuts_transition(logp_grad_fn, state: ChainState, key, eps, inv_mass, cfg):
                 traj.diverged, jnp.logical_and(going, div_sub)
             ),
             sum_accept=traj.sum_accept + jnp.where(going, acc, 0.0),
-            n_leaves=traj.n_leaves + jnp.where(going, float(n_sub), 0.0),
+            n_leaves=traj.n_leaves + jnp.where(going, n_sub, 0.0),
         )
 
     new_state = ChainState(z=traj.z_prop, logp=traj.lp_prop, grad=traj.g_prop)
@@ -327,6 +336,7 @@ def sample_nuts_chunked(
         logp_grad_fn, states, k1, k2, cfg, dim, z0.dtype,
         cross_chain_mean, cross_chain_moments, transition=transition,
         unroll_chunk=chunk_size, cache_anchor=logp_fn,
+        transition_key=("nuts", cfg),
     )
 
     def make_chunk_fn(length: int):

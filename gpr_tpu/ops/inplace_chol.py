@@ -243,6 +243,9 @@ def zero_upper_inplace(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("w", "b", "precision", "interpret")
+)
 def cholesky_inplace(
     A: jax.Array,
     *,
@@ -256,7 +259,11 @@ def cholesky_inplace(
     Reads only the lower triangle; returns a factor with exact-zero strict
     upper.  ``w``: trailing-update width (SYRK contraction, bm=w tiles);
     ``b``: panel width (diagonal factorization granularity).  Requires
-    n % w == 0 and w % b == 0."""
+    n % w == 0 and w % b == 0.
+
+    The whole chain is one jitted program, so the in-place aliasing holds
+    between every step; an eager call pays exactly one defensive copy of
+    ``A`` (the caller-owned entry buffer) rather than one per step."""
     n = A.shape[0]
     if n % w or w % b or (w > 512 and w % 512):
         # w > 512 runs the trailing SYRK on 512-tiles, so w must align

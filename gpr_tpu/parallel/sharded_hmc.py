@@ -79,12 +79,13 @@ def sample_hmc_sharded(
             f"num_chains ({n_chains}) must be divisible by mesh size ({n_dev})"
         )
 
-    def _pmoments(mean, var, axis_name):
+    def _pmoments(mean, var, w, axis_name):
         # combine per-device (mean, var) into global moments:
         # E[x] = pmean(mean); Var[x] = pmean(var + mean^2) - E[x]^2
         g_mean = lax.pmean(mean, axis_name)
         g_var = lax.pmean(var + mean**2, axis_name) - g_mean**2
-        return g_mean, jnp.maximum(g_var, 1e-12)
+        w = w * lax.psum(1, axis_name)
+        return g_mean, jnp.maximum(g_var, 1e-12), w
 
     def shard_fn(z_local, key_local):
         res = sampler(
@@ -93,7 +94,7 @@ def sample_hmc_sharded(
             key_local[0],
             cfg,
             cross_chain_mean=lambda x: lax.pmean(x, axis),
-            cross_chain_moments=lambda m, v: _pmoments(m, v, axis),
+            cross_chain_moments=lambda m, v, w: _pmoments(m, v, w, axis),
         )
         # reshape replicated scalars/vectors so they concatenate along the
         # mesh axis (one copy per device; identical values by construction)

@@ -109,6 +109,11 @@ def gaussian_smoothing(
         axes = tuple(range(img.ndim))
     if spacing is None:
         spacing = [1.0] * len(axes)
+    if len(spacing) != len(axes):
+        raise ValueError(
+            f"gaussian_smoothing: {len(spacing)} spacing values for "
+            f"{len(axes)} axes (zip would silently skip trailing axes)"
+        )
     out = img
     for ax, sp in zip(axes, spacing):
         out = _convolve_along(out, _gaussian_kernel1d(variance, sp, max_kernel_width), ax)
@@ -288,7 +293,13 @@ def threshold_window(img: jax.Array, thresh_max, thresh_min) -> jax.Array:
     pos_inf = jnp.asarray(jnp.inf, img.dtype)
     max_below = jnp.max(jnp.where(img < thresh_max, img, neg_inf))
     min_above = jnp.min(jnp.where(img > thresh_min, img, pos_inf))
-    return jnp.clip(img, min_above, max_below)
+    # an empty window (no pixel strictly inside a bound) leaves an infinity
+    # behind, and clip(lo=+inf)/clip(hi=-inf) would flood the image with
+    # infinities that NaN-poison downstream smoothing; fall back to the
+    # plain image extrema for the missing side
+    max_below = jnp.where(jnp.isfinite(max_below), max_below, jnp.max(img))
+    min_above = jnp.where(jnp.isfinite(min_above), min_above, jnp.min(img))
+    return jnp.clip(img, jnp.minimum(min_above, max_below), max_below)
 
 
 def rescale_intensity(img: jax.Array, out_min, out_max) -> jax.Array:
