@@ -34,6 +34,7 @@ from jax import tree_util
 from ..kernels import kernels as kermod
 from ..kernels.dsl import kernel_to_string, parse_kernel
 from ..ops import linalg
+from ..utils.config import matmul_precision
 from ..utils import matrixio
 
 
@@ -68,7 +69,7 @@ class GP:
         Xs2 = self._check_input(Xs_arr)
         single = Xs_arr.ndim <= 1 and Xs2.shape[0] == 1
         Ks = kermod.gram(self.kernel, Xs2, self.X)  # (m, n)
-        mean = Ks @ self.alpha
+        mean = jnp.matmul(Ks, self.alpha, precision=matmul_precision())
         return mean[0] if single else mean
 
     def predict_derivative(self, x):
@@ -88,9 +89,10 @@ class GP:
         L = self._require_core()
         Kx = kermod.kvec(self.kernel, self.X, x)
         Ky = kermod.kvec(self.kernel, self.X, y)
-        return self.kernel(jnp.atleast_1d(x), jnp.atleast_1d(y)) - Kx @ linalg.cho_solve(
-            L, Ky
-        )
+        return self.kernel(
+            jnp.atleast_1d(x), jnp.atleast_1d(y)
+        ) - jnp.matmul(Kx, linalg.cho_solve(L, Ky),
+                       precision=matmul_precision())
 
     def posterior_var(self, Xs) -> jax.Array:
         """Batched diagonal posterior variance at points Xs (m, d) -> (m,)."""
@@ -158,6 +160,18 @@ class GP:
         K = linalg.add_diagonal(K, jnp.asarray(self.sigma) ** 2)
         L, _ = linalg.safe_cholesky(K)
         return L
+
+    def materialize(self) -> "GP":
+        """Return a GP with the Cholesky factor restored (one O(n^3)
+        factorization).  Call once before repeated posterior_cov /
+        credible_interval queries on an efficient-storage model: each
+        query otherwise recomputes the factor from scratch (the reference
+        caches its lazily-recomputed CoreMatrix,
+        lib/GaussianProcess.cpp:95-97; an immutable pytree cannot, so the
+        caching is explicit here)."""
+        if self.L is not None:
+            return self
+        return dataclasses.replace(self, L=self._require_core())
 
     @property
     def num_samples(self) -> int:
@@ -386,8 +400,10 @@ def loo_cv(gp: GP):
 
     L = gp._require_core()
     eye = jnp.eye(L.shape[0], dtype=L.dtype)
-    Ainv = linalg.cho_solve(L, eye)
-    diag = jnp.diagonal(Ainv)
+    # diag(A^-1) = sum_k (L^{-1})_{ki}^2 — one triangular solve, half the
+    # cost of the explicit inverse and no n x n buffer
+    Linv = linalg._tri_solve(L, eye, trans=False)
+    diag = jnp.sum(Linv * Linv, axis=0)
     loo_mean = gp.Y - gp.alpha / diag[:, None]
     loo_var = 1.0 / diag
     resid = gp.Y - loo_mean

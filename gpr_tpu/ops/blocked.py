@@ -55,7 +55,7 @@ def solve_triangular_blocked(
         # U X = B with U upper: solve via the lower-triangular routine on
         # the flipped problem (reverse both axes)
         Lf = L[::-1, ::-1]
-        Bf = B[::-1] if B.ndim > 1 else B[::-1]
+        Bf = B[::-1]
         Xf = solve_triangular_blocked(Lf, Bf, lower=True, leaf=leaf)
         return Xf[::-1]
 
@@ -272,17 +272,40 @@ def cholesky_blocked(
     return assemble_blocks(_chol_rec(A, leaf, gemm_dtype, 0, invs, right_solve))
 
 
+def _solve_r(L, B, leaf):
+    """X with ``X @ L = B`` (B: (r, n), L lower) — the backward-solve
+    sibling of :func:`_solve_rt`: both GEMMs stream untransposed blocks."""
+    n = L.shape[0]
+    if n <= leaf:
+        return jax.lax.linalg.triangular_solve(
+            L, B, left_side=False, lower=True, transpose_a=False
+        )
+    m = _round_split(n)
+    X2 = _solve_r(L[m:, m:], B[:, m:], leaf)
+    rhs = B[:, :m] - jax.lax.dot_general(
+        X2, L[m:, :m],
+        (((1,), (0,)), ((), ())), preferred_element_type=B.dtype,
+        precision=matmul_precision(),
+    )
+    X1 = _solve_r(L[:m, :m], rhs, leaf)
+    return jnp.concatenate([X1, X2], axis=1)
+
+
 def cho_solve_blocked(L: jax.Array, B: jax.Array, *, leaf: int = 0) -> jax.Array:
-    """Solve A X = B given A = L L^T (blocked forward + backward solves)."""
+    """Solve A X = B given A = L L^T.
+
+    Both passes run RIGHT-SIDE on the transposed rhs, so the only physical
+    transposes are of the skinny (n, q) rhs — the previous formulation
+    materialized a full (n, n) ``L.T`` plus three reversal copies (a ~1 GB
+    HBM copy at n=16k f32) for the backward solve."""
     if leaf <= 0:
         leaf = _default_leaf()
-    Y = solve_triangular_blocked(L, B, lower=True, leaf=leaf)
-    # L^T X = Y: upper-triangular solve via the flip trick
-    Lt = L.T
-    Xf = solve_triangular_blocked(
-        Lt[::-1, ::-1], Y[::-1], lower=True, leaf=leaf
-    )
-    return Xf[::-1]
+    if B.ndim == 1:
+        return cho_solve_blocked(L, B[:, None], leaf=leaf)[:, 0]
+    Bt = B.T  # (q, n): the cheap transpose
+    Yt = _solve_rt(L, Bt, leaf, 0, None)  # Y^T = B^T L^{-T}
+    Xt = _solve_r(L, Yt, leaf)            # X^T = Y^T L^{-1}
+    return Xt.T
 
 
 def cholesky_rightlooking(
@@ -384,7 +407,12 @@ def _chol_into(A_cur, out, i0, leaf, gemm_dtype):
     """Factor the Schur block ``A_cur`` (global offset i0) into ``out``."""
     s = A_cur.shape[0]
     if s <= leaf:
-        return out.at[i0 : i0 + s, i0 : i0 + s].set(jnp.linalg.cholesky(A_cur))
+        # symmetrize_input=False honors the potrf('L') contract: the strict
+        # upper of a lower-contract input (tril Gram / syrk output) is
+        # undefined, and jnp.linalg.cholesky would average it in
+        return out.at[i0 : i0 + s, i0 : i0 + s].set(
+            jax.lax.linalg.cholesky(A_cur, symmetrize_input=False)
+        )
     m = _round_split(s)
     out = _chol_into(A_cur[:m, :m], out, i0, leaf, gemm_dtype)
     L11 = out[i0 : i0 + m, i0 : i0 + m]

@@ -34,13 +34,17 @@ from jax import lax
 
 
 # log-space clamping bounds, mirroring the reference's clamping of the
-# determinant to [min, max] of long double (include/Likelihood.h:180-188).
-# In float64 we clamp at the float64 range instead.
-def _logdet_bounds(dtype) -> Tuple[float, float]:
-    finfo = jnp.finfo(dtype)
-    import numpy as np
+# determinant to [min, max] of LONG DOUBLE (include/Likelihood.h:180-188).
+# The bounds are the reference's, NOT the compute dtype's: log|A| is a sum
+# of logs and comfortably representable in f32 far beyond f32's own
+# log-range (+-88), which would otherwise clamp (and zero the gradient of)
+# the MLL complexity term for every realistic n on the f32 TPU tier.
+_LDBL_LOG_MAX = 11356.523406294143  # log(LDBL_MAX), 80-bit extended
 
-    return float(np.log(finfo.tiny)), float(np.log(finfo.max))
+
+def _logdet_bounds(dtype) -> Tuple[float, float]:
+    del dtype
+    return -_LDBL_LOG_MAX, _LDBL_LOG_MAX
 
 
 def add_diagonal(A: jax.Array, value) -> jax.Array:
@@ -171,19 +175,30 @@ def _safe_cholesky_impl(A, initial_jitter, max_tries):
         finish = assemble_blocks
     else:
         factor = chol_lower
-        ok_of = _diag_ok
+        # PER-ELEMENT success for batched inputs: one failing fleet member
+        # must not force escalating jitter onto every other member's
+        # factor (it would distort an MLL grid around one singular point
+        # and falsely report jitter for elements that factored cleanly)
+        ok_of = lambda L: jnp.isfinite(L[..., -1, -1])
         finish = lambda L: L
 
     # one factorization attempt; this is the whole success path
     L0 = factor(A)
     ok0 = ok_of(L0)
 
+    def _keep(ok, old, new):
+        # broadcast the per-element ok over trailing matrix dims
+        mask = jnp.reshape(ok, ok.shape + (1,) * (new.ndim - ok.ndim))
+        return jnp.where(mask, old, new)
+
     def cond(state):
         ok, tries, _, _ = state
-        return jnp.logical_and(jnp.logical_not(ok), tries < max_tries)
+        return jnp.logical_and(
+            jnp.logical_not(jnp.all(ok)), tries < max_tries
+        )
 
     def body(state):
-        _, tries, j, _ = state
+        ok, tries, j, L = state
         # escalation-only O(n) work (the diagonal gather) lives in the
         # body, so the success path never pays it
         diag_mean = jnp.mean(
@@ -197,9 +212,15 @@ def _safe_cholesky_impl(A, initial_jitter, max_tries):
             ),
             batch_shape,
         ).astype(dtype)
-        jnew = jnp.where(tries == 0, base, j * 10.0)
-        Lnew = factor(add_diagonal(A, jnew))
-        return ok_of(Lnew), tries + 1, jnew, Lnew
+        # escalate ONLY the failed elements; succeeded ones keep their
+        # jitter and factor untouched
+        jesc = jnp.where(tries == 0, base, j * 10.0)
+        jnew = jnp.where(ok, j, jesc) if ok.ndim else jesc
+        Lraw = factor(add_diagonal(A, jnew))
+        Lnew = jax.tree_util.tree_map(
+            lambda old, new: _keep(ok, old, new), L, Lraw
+        ) if ok.ndim else Lraw
+        return jnp.logical_or(ok, ok_of(Lnew)), tries + 1, jnew, Lnew
 
     # The FACTOR itself is a loop carry: on success the loop runs zero
     # iterations and returns (L0, 0) with the carry buffer aliased to L0 —
@@ -315,6 +336,5 @@ def pinv(A: jax.Array, epsilon: float | None = None) -> jax.Array:
     return (Vh.T[:, :k] * s_inv[None, :]) @ U.T[:k, :]
 
 
-@functools.partial(jax.jit, static_argnames=())
 def symmetrize(A: jax.Array) -> jax.Array:
-    return 0.5 * (A + A.T)
+    return 0.5 * (A + jnp.swapaxes(A, -1, -2))

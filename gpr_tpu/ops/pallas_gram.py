@@ -81,8 +81,10 @@ def _tile_body(params_ref, x, y, *, form: str, bm: int, bn: int, ti, tj,
         else:
             a = jnp.float32(5.0**0.5) * r / sigma
             val = (scale * scale) * (1.0 + a + a * a / 3.0) * jnp.exp(-a)
-    else:  # raw squared distances
+    elif form == "sqdist":  # raw squared distances
         val = d2
+    else:
+        raise ValueError(f"gram_pallas: unknown form {form!r}")
     rows = ti * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
     cols = tj * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
     return val + jnp.where(rows == cols, params_ref[3], 0.0)
