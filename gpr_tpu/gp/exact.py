@@ -412,3 +412,52 @@ def loo_cv(gp: GP):
         - 0.5 * resid**2 / loo_var[:, None]
     )
     return loo_mean, loo_var, lpd
+
+
+def extend(gp: GP, Xn, Yn, jitter: float = 0.0) -> GP:
+    """Add samples to a trained GP in O(n^2 k) — the online-serving
+    replacement for the reference's AddSample + Initialize, which
+    re-factorizes the full (n+k)^2 Gram from scratch each time
+    (reference lib/GaussianProcess.cpp:117-130; GaussianProcess.h's
+    m_Initialized flag forces the full recomputation).
+
+    With A = [[K11, K12], [K12^T, K22]] + sigma^2 I and L11 = chol(K11 +
+    sigma^2 I) already known, the factor grows by one block row:
+
+        B = (L11^{-1} K12)^T               one triangular solve, (n, k)
+        C = chol(K22 + sigma^2 I - B B^T)  one (k, k) factorization
+
+    and the regression vectors are re-solved against the extended factor
+    (O((n+k)^2 q)).  Equal to ``fit`` on the concatenated data up to float
+    rounding (same Gram formulas, same noise placement)."""
+    Xn = jnp.asarray(Xn)
+    Yn = jnp.asarray(Yn)
+    if Xn.ndim == 1:
+        Xn = Xn[:, None]
+    if Yn.ndim == 1:
+        Yn = Yn[:, None]
+    if gp.L is None:
+        raise ValueError(
+            "extend: efficient-storage GP has no factor; call "
+            "gp.materialize() first"
+        )
+    L11 = gp.L
+    prec = matmul_precision()
+    K12 = kermod.gram(gp.kernel, gp.X, Xn)  # (n, k)
+    K22 = kermod.gram(gp.kernel, Xn)
+    noise = jnp.asarray(gp.sigma, K22.dtype) ** 2 + jitter
+    Bt = linalg._tri_solve(L11, K12, trans=False)  # L11^{-1} K12, (n, k)
+    S = linalg.add_diagonal(K22, noise) - jnp.matmul(
+        Bt.T, Bt, precision=prec
+    )
+    C, _ = linalg.safe_cholesky(S)
+    n, k = K12.shape
+    Lnew = jnp.zeros((n + k, n + k), L11.dtype)
+    Lnew = Lnew.at[:n, :n].set(L11)
+    Lnew = Lnew.at[n:, :n].set(Bt.T)
+    Lnew = Lnew.at[n:, n:].set(C)
+    X = jnp.concatenate([gp.X, Xn], axis=0)
+    Y = jnp.concatenate([gp.Y, Yn], axis=0)
+    alpha = linalg.cho_solve(Lnew, Y)
+    return GP(kernel=gp.kernel, X=X, Y=Y, sigma=gp.sigma, alpha=alpha,
+              L=Lnew)

@@ -238,3 +238,48 @@ def test_loo_cv_matches_refits(rng):
         np.testing.assert_allclose(float(loo_mean[i, 0]), m, rtol=1e-8)
         np.testing.assert_allclose(float(loo_var[i]), v, rtol=1e-8)
     assert np.isfinite(float(lpd))
+
+
+class TestExtend:
+    def test_extend_matches_refit(self):
+        import numpy as np
+        import jax.numpy as jnp
+        import gpr_tpu as gt
+        from gpr_tpu.gp import exact
+
+        rng = np.random.default_rng(21)
+        X = rng.standard_normal((30, 2))
+        Y = np.sin(X.sum(-1, keepdims=True))
+        Xn = rng.standard_normal((7, 2))
+        Yn = np.sin(Xn.sum(-1, keepdims=True))
+        k = gt.Gaussian(1.3, 0.9)
+        gp = exact.fit(k, X, Y, sigma=0.1)
+        ext = exact.extend(gp, Xn, Yn)
+        ref = exact.fit(k, np.concatenate([X, Xn]), np.concatenate([Y, Yn]),
+                        sigma=0.1)
+        np.testing.assert_allclose(np.asarray(ext.L), np.asarray(ref.L),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(ext.alpha),
+                                   np.asarray(ref.alpha), atol=1e-9)
+        # and the prediction surface agrees
+        Xs = rng.standard_normal((5, 2))
+        np.testing.assert_allclose(np.asarray(ext.predict(Xs)),
+                                   np.asarray(ref.predict(Xs)), atol=1e-9)
+
+    def test_extend_repeated_streaming(self):
+        import numpy as np
+        import gpr_tpu as gt
+        from gpr_tpu.gp import exact
+
+        rng = np.random.default_rng(22)
+        X = rng.standard_normal((10, 1))
+        Y = np.sin(X)
+        gp = exact.fit(gt.Gaussian(1.0, 1.0), X, Y, sigma=0.05)
+        for i in range(3):
+            xn = rng.standard_normal((4, 1))
+            gp = exact.extend(gp, xn, np.sin(xn))
+        assert gp.num_samples == 22
+        ref = exact.fit(gt.Gaussian(1.0, 1.0), np.asarray(gp.X),
+                        np.asarray(gp.Y), sigma=0.05)
+        np.testing.assert_allclose(np.asarray(gp.alpha),
+                                   np.asarray(ref.alpha), atol=1e-8)
