@@ -97,27 +97,50 @@ def watch(
 
     seen: Set[str] = set()
     served = 0
+    warmed = False
     last_new = time.monotonic()
-    while True:
-        files = sorted(
-            f
-            for f in os.listdir(watch_dir)
-            if f not in seen and f.endswith((".vtk", ".png", ".mha"))
-        )
-        if files:
-            last_new = time.monotonic()
-        for f in files:
-            seen.add(f)
-            frame = imageio.read_image(os.path.join(watch_dir, f)).data
-            server.handle_frame(np.asarray(frame), served)
-            served += 1
-            if max_frames is not None and served >= max_frames:
-                server.flush_latencies()
+    try:
+        while True:
+            files = sorted(
+                f
+                for f in os.listdir(watch_dir)
+                if f not in seen and f.endswith((".vtk", ".png", ".mha"))
+            )
+            if files:
+                last_new = time.monotonic()
+            for f in files:
+                path = os.path.join(watch_dir, f)
+                try:
+                    frame = imageio.read_image(path).data
+                except Exception:
+                    # acquisition may still be writing the file; retry once
+                    # after a settle instead of killing the serving loop
+                    time.sleep(max(poll, 0.05))
+                    try:
+                        frame = imageio.read_image(path).data
+                    except Exception as e:
+                        print(f"serve: skipping unreadable frame {f}: {e}",
+                              file=sys.stderr)
+                        seen.add(f)
+                        continue
+                seen.add(f)
+                arr = np.asarray(frame)
+                if not warmed:
+                    # compile OUTSIDE the timed path: frame 0's latency must
+                    # not record the one-time jit compile (tens of seconds
+                    # over the remote tunnel)
+                    server.warmup(arr)
+                    warmed = True
+                server.handle_frame(arr, served)
+                served += 1
+                if max_frames is not None and served >= max_frames:
+                    return served
+            if time.monotonic() - last_new > idle_timeout:
                 return served
-        if time.monotonic() - last_new > idle_timeout:
-            server.flush_latencies()
-            return served
-        time.sleep(poll)
+            time.sleep(poll)
+    finally:
+        # a crash mid-session must not lose the accumulated timings
+        server.flush_latencies()
 
 
 def main(argv=None) -> int:

@@ -40,6 +40,7 @@ from jax import tree_util
 
 from ..kernels import kernels as kermod
 from ..ops import linalg
+from ..utils.config import matmul_precision
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,7 +61,7 @@ class SparseGP:
         Xs2 = jnp.atleast_2d(jnp.asarray(Xs))
         single = jnp.asarray(Xs).ndim <= 1
         Ks = kermod.gram(self.kernel, Xs2, self.Z)  # (t, m)
-        mean = Ks @ self.alpha
+        mean = jnp.matmul(Ks, self.alpha, precision=matmul_precision())
         return mean[0] if single else mean
 
     def posterior_cov(self, x, y) -> jax.Array:
@@ -69,7 +70,13 @@ class SparseGP:
         Kx = kermod.kvec(self.kernel, self.Z, x)
         Ky = kermod.kvec(self.kernel, self.Z, y)
         kxy = self.kernel(jnp.atleast_1d(x), jnp.atleast_1d(y))
-        return kxy - Kx @ linalg.cho_solve(self.Lmm, Ky) + Kx @ (self.R @ Ky)
+        prec = matmul_precision()
+        return (
+            kxy
+            - jnp.matmul(Kx, linalg.cho_solve(self.Lmm, Ky), precision=prec)
+            + jnp.matmul(Kx, jnp.matmul(self.R, Ky, precision=prec),
+                         precision=prec)
+        )
 
     def credible_interval(self, x) -> jax.Array:
         c = self.posterior_cov(x, x)
@@ -123,13 +130,15 @@ def fit_sparse(kernel, Z, X, Y, sigma: float, jitter: float = 0.0) -> SparseGP:
     inv_s2 = 1.0 / (jnp.asarray(sigma, dtype) ** 2)
 
     # Sigma = inv(Kmm + s^-2 Kmn Knm)
-    S = Kmm_j + inv_s2 * (Knm.T @ Knm)
+    S = Kmm_j + inv_s2 * jnp.matmul(Knm.T, Knm, precision=matmul_precision())
     Ls, _ = linalg.safe_cholesky(S)
 
     # alpha = inv(Kmm) (s^-2 Kmm Sigma Kmn Y)  ==  s^-2 Sigma Kmn Y
     # (the reference's Kmm inv(Kmm) pair cancels analytically;
     #  SparseGaussianProcess.h:303 keeps them explicit)
-    alpha = inv_s2 * linalg.cho_solve(Ls, Knm.T @ Y)
+    alpha = inv_s2 * linalg.cho_solve(
+        Ls, jnp.matmul(Knm.T, Y, precision=matmul_precision())
+    )
 
     # R = inv(Kmm) Kmm Sigma Kmm inv(Kmm) == Sigma
     # (again the reference keeps the cancelling pair explicit, :306)
@@ -156,9 +165,10 @@ def fit_sparse(kernel, Z, X, Y, sigma: float, jitter: float = 0.0) -> SparseGP:
 def _woodbury_pieces(kernel, Z, X, sigma, jitter):
     """Factorizations shared by the likelihood value and the solves.
 
-    C = s^2 I + Knm inv(Kmm) Kmn.  With V = Knm L^-T (L = chol(Kmm)):
-      inv(C)  = s^-2 (I - V inv(s^2 I_m + V^T V) V^T)
-      log|C|  = (n - m) log s^2 + log|Kmm + s^-2 Kmn Knm| - log|Kmm|
+    C = s^2 I + Knm inv(Kmm) Kmn.  With inner = Kmm + s^-2 Kmn Knm
+    (the UNSCALED Woodbury inner matrix the code factors):
+      inv(C) b = s^-2 (b - Knm inner^-1 (Kmn b) s^-2)
+      log|C|   = n log s^2 + log|inner| - log|Kmm|
     both O(n m^2) (the reference's EfficientInversion / EfficientDeterminant,
     SparseLikelihood.h:129-150, done in log space)."""
     Z = jnp.atleast_2d(jnp.asarray(Z))
@@ -172,8 +182,7 @@ def _woodbury_pieces(kernel, Z, X, sigma, jitter):
     Lmm, _ = linalg.safe_cholesky(Kmm)
     Knm = kermod.gram(kernel, X, Z)
 
-    # inner matrix A = s^2 Kmm + Kmn Knm  (scaled form of Kmm + s^-2 KmnKnm)
-    inner = Kmm + (Knm.T @ Knm) / s2
+    inner = Kmm + jnp.matmul(Knm.T, Knm, precision=matmul_precision()) / s2
     Linner, _ = linalg.safe_cholesky(inner)
 
     logdet_C = (
@@ -184,15 +193,16 @@ def _woodbury_pieces(kernel, Z, X, sigma, jitter):
     return Lmm, Knm, Linner, s2, logdet_C, n, m
 
 
-def woodbury_solve(Lmm, Knm, Linner, s2, B):
+def woodbury_solve(Knm, Linner, s2, B):
     """inv(C) @ B with C = s^2 I + Knm inv(Kmm) Kmn.
 
     (A + U B U^T)^-1 = A^-1 - A^-1 U (B^-1 + U^T A^-1 U)^-1 U^T A^-1 with
     A = s^2 I, B = inv(Kmm):  inv(C) b = s^-2 (b - Knm inner^-1 (Kmn b) s^-2)
     where inner = Kmm + s^-2 Kmn Knm (factored as Linner)."""
-    t = (Knm.T @ B) / s2  # (m, q)
+    prec = matmul_precision()
+    t = jnp.matmul(Knm.T, B, precision=prec) / s2  # (m, q)
     u = linalg.cho_solve(Linner, t)
-    return (B - Knm @ u) / s2
+    return (B - jnp.matmul(Knm, u, precision=prec)) / s2
 
 
 def sparse_log_likelihood(kernel, Z, X, Y, sigma, jitter: float = 0.0) -> jax.Array:
@@ -206,7 +216,7 @@ def sparse_log_likelihood(kernel, Z, X, Y, sigma, jitter: float = 0.0) -> jax.Ar
     Lmm, Knm, Linner, s2, logdet_C, n, m = _woodbury_pieces(
         kernel, Z, X, sigma, jitter
     )
-    CinvY = woodbury_solve(Lmm, Knm, Linner, s2, Y)
+    CinvY = woodbury_solve(Knm, Linner, s2, Y)
     df = -0.5 * jnp.sum(Y * CinvY, axis=0)
     cp = -0.5 * logdet_C
     ct = -n / 2.0 * math.log(2 * math.pi)
@@ -223,7 +233,7 @@ def sparse_mll_scalar(kernel, Z, X, Y, sigma, jitter: float = 0.0) -> jax.Array:
     Lmm, Knm, Linner, s2, logdet_C, n, m = _woodbury_pieces(
         kernel, Z, X, sigma, jitter
     )
-    CinvY = woodbury_solve(Lmm, Knm, Linner, s2, Y)
+    CinvY = woodbury_solve(Knm, Linner, s2, Y)
     df = -0.5 * jnp.sum(Y * CinvY)
     return df - 0.5 * logdet_C - n / 2.0 * math.log(2 * math.pi)
 

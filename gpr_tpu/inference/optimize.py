@@ -102,7 +102,10 @@ def _run_optax(objective: Callable, x0: jax.Array, optimizer, iterations: int) -
         return (x, opt_state), loss
 
     (x, _), losses = jax.lax.scan(step, (x0, optimizer.init(x0)), None, length=iterations)
-    return OptResult(params=x, value=float(-losses[-1]), trace=-losses)
+    # losses[-1] was evaluated BEFORE the final update; report the
+    # objective at the RETURNED parameters so value and params correspond
+    final = float(objective(x))
+    return OptResult(params=x, value=final, trace=-losses)
 
 
 def fit_mle(
@@ -249,11 +252,17 @@ class GaussNewtonInference:
                 return self.params
             value = np.asarray(value).reshape(-1)
             J = np.asarray(J)
+            # the reference compares the PREVIOUS transformed vector (-|l|,
+            # stored at the end of the last iteration) against the RAW
+            # current one (GaussianProcessInference.h:171-176) — for
+            # positive likelihood values it therefore never early-exits
             if old is not None and np.linalg.norm(old - value) == 0:
                 break
-            abs_value = np.abs(value)
+            # sign loop (GaussianProcessInference.h:178-181): every entry
+            # becomes NON-positive (-|l|), which sets the update direction
+            neg_value = -np.abs(value)
             JtJ = J.T @ J
-            update = (np.asarray(linalg.pinv(jnp.asarray(JtJ))) @ J.T) @ abs_value
+            update = (np.asarray(linalg.pinv(jnp.asarray(JtJ))) @ J.T) @ neg_value
             p = np.array(self.params, dtype=float)
             for i in range(p.size):
                 if not bool(self.mask[i]):
@@ -263,7 +272,7 @@ class GaussNewtonInference:
                 else:
                     p[i] += self.step * np.log1p(abs(update[i]))
             self.params = jnp.asarray(p)
-            old = value
+            old = neg_value
             if verbose:
                 print(f"iter {it}: value={value}, params={p}")
         return self.params

@@ -61,8 +61,29 @@ class Density:
         GetLogDerivative."""
         raise NotImplementedError
 
-    def icdf(self, u, a=-1e8, b=1e8, iters: int = 1000, tol: float = 1e-10):
-        """Bisection inverse-cdf (reference Density::icdf, Prior.h:87-116)."""
+    # bisection bracket matching the density's support: positive-support
+    # densities (log-Gaussian, inverse-Gaussian, Gamma) have NaN cdfs at
+    # negative x, and a NaN bracket endpoint silently collapses the
+    # bisection to a wrong constant (the reference RAISES a domain error,
+    # Prior.h:88-89)
+    icdf_support = (-1e8, 1e8)
+
+    def icdf(self, u, a=None, b=None, iters: int = 1000, tol: float = 1e-10):
+        """Bisection inverse-cdf (reference Density::icdf, Prior.h:87-116).
+
+        ``a``/``b`` default to the density's support bracket;
+        ``tol`` bounds the bracket width (it caps the iteration count when
+        the bracket is concrete)."""
+        if a is None:
+            a = self.icdf_support[0]
+        if b is None:
+            b = self.icdf_support[1]
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            span = float(b) - float(a)
+            if span > 0 and tol > 0:
+                import math as _m
+
+                iters = min(iters, max(1, int(_m.ceil(_m.log2(span / tol)))))
         u = jnp.asarray(u, jnp.result_type(float))
         a = jnp.broadcast_to(jnp.asarray(a, u.dtype), u.shape)
         b = jnp.broadcast_to(jnp.asarray(b, u.dtype), u.shape)
@@ -158,6 +179,8 @@ class GaussianDensity(Density):
 @dataclasses.dataclass(frozen=True)
 class LogGaussianDensity(Density):
     """log-normal (reference Prior.h:199-432)."""
+
+    icdf_support = (1e-12, 1e8)
 
     mu: Any
     sigma: Any
@@ -276,6 +299,8 @@ class InverseGaussianDensity(Density):
 
     p(x | lambda, mu) = sqrt(lambda/(2 pi x^3)) exp(-lambda (x-mu)^2 / (2 mu^2 x))
     """
+
+    icdf_support = (1e-12, 1e8)
 
     lam: Any
     mu: Any
@@ -419,6 +444,8 @@ class GammaDensity(Density):
     the RATE convention, which is what we implement:
         p(x) = beta^alpha / Gamma(alpha) x^(alpha-1) exp(-beta x)
     """
+
+    icdf_support = (1e-12, 1e8)
 
     alpha: Any
     beta: Any

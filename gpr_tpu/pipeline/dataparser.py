@@ -152,6 +152,7 @@ class DataParser:
         self.input_features: Optional[np.ndarray] = None
         self.output_features: Optional[np.ndarray] = None
         self._predicted_output: Optional[np.ndarray] = None
+        self._predicted_features: Optional[np.ndarray] = None
         return self
 
     @staticmethod
@@ -269,6 +270,10 @@ class DataParser:
         F = np.stack([np.asarray(v) for v in predicted_features], axis=1)
         write_csv(self.prefix_output + "Features_prediction.csv", F)
         out_pca = pcamod.load_pca(self.prefix_output)
+        # kept for the latency re-measurement (the reference stores
+        # m_predictedFeatures at DataParser.h:205 and reconstructs from
+        # them per frame at :242/:274)
+        self._predicted_features = F
         self._predicted_output = np.asarray(
             out_pca.reconstruct(F[: self.n_output_modes], self.n_output_modes)
         )
@@ -305,9 +310,15 @@ class DataParser:
                         feats.T, theta, self.ar_n, batches, self.one_pred_per_batch
                     )
                 )
-            if self._predicted_output is not None and itr < self._predicted_output.shape[1]:
-                W = self._predicted_output[: self.n_output_modes, itr : itr + 1]
-                np.asarray(out_pca.reconstruct(W[: self.n_output_modes]))
+            if (
+                self._predicted_features is not None
+                and itr < self._predicted_features.shape[1]
+            ):
+                # reconstruct from the PREDICTED FEATURE vector of this
+                # frame (reference DataParser.h:242,274) — not from the
+                # already-reconstructed output
+                W = self._predicted_features[: self.n_output_modes, itr : itr + 1]
+                np.asarray(out_pca.reconstruct(W))
             times.append(time.perf_counter() - t0)
         write_to_log_file(
             self.log_file,

@@ -320,3 +320,21 @@ def test_mll_grad_finite_difference_all_families(kernel, rng):
         e = jnp.zeros_like(vec0).at[i].set(h)
         fd[i] = (float(f(vec0 + e)) - float(f(vec0 - e))) / (2 * h)
     np.testing.assert_allclose(auto, fd, rtol=2e-4, atol=1e-6)
+
+
+def test_optimize2_improves_objective(rng):
+    """Update direction parity: the reference's sign loop makes every
+    likelihood entry NON-positive before the Gauss-Newton solve
+    (GaussianProcessInference.h:178-181); with typical negative MLL values
+    optimize2 must therefore IMPROVE the objective."""
+    X, Y = _sinus_data(12)
+    start = [3.0, 1.0]
+    vg, vj = reference_objective(gt.Gaussian(*start), jnp.asarray(X),
+                                 jnp.asarray(Y), 0.1)
+    v0 = float(vg(jnp.asarray(start))[0][0])
+    opt = GaussNewtonInference(vg, list(start), step_width=0.05,
+                               iterations=15,
+                               objective_value_and_jacobian=vj)
+    p = np.asarray(opt.optimize2(verbose=False))
+    v1 = float(vg(jnp.asarray(p))[0][0])
+    assert v1 > v0 + 1.0, (v0, v1)

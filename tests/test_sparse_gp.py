@@ -37,7 +37,7 @@ def test_woodbury_solve_matches_dense(rng):
     Kmm = np.asarray(gt.gram(k, jnp.asarray(Z))) + jitter * np.eye(Z.shape[0])
     Knm_d = np.asarray(gt.gram(k, jnp.asarray(X), jnp.asarray(Z)))
     C = sigma**2 * np.eye(X.shape[0]) + Knm_d @ np.linalg.solve(Kmm, Knm_d.T)
-    got = np.asarray(sp.woodbury_solve(Lmm, Knm, Linner, s2, jnp.asarray(Y)))
+    got = np.asarray(sp.woodbury_solve(Knm, Linner, s2, jnp.asarray(Y)))
     ref = np.linalg.solve(C, Y)
     np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-10)
     # determinant lemma vs dense logdet (reference EfficientDeterminant,
