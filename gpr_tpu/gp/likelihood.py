@@ -105,10 +105,33 @@ def _wrap_params(kernel, X, Y, sigma, fn):
 def mll_value_and_grad(kernel, X, Y, sigma) -> Tuple[jax.Array, jax.Array]:
     """(value_vector, grad) — the reference's
     ``GetValueAndParameterDerivatives`` (Likelihood.h:231-285): the value is
-    the per-dim vector, the gradient is that of :func:`mll_scalar`."""
-    f, vec0 = _wrap_params(kernel, X, Y, sigma, mll_scalar)
-    grad = jax.grad(f)(vec0)
-    value = gaussian_log_likelihood(kernel, X, Y, sigma)
+    the per-dim vector, the gradient is that of :func:`mll_scalar`.
+
+    ONE Gram + factorization serves both outputs (``has_aux`` threads the
+    per-dim vector out of the same forward pass the gradient uses — the
+    separate ``gaussian_log_likelihood`` call paid a second O(n^3)
+    factorization per optimizer step)."""
+    vec0 = kermod.params_vector(kernel)
+
+    def g(vec):
+        k = kernel.with_params(list(vec))
+        Xa = jnp.asarray(X)
+        Ya = jnp.asarray(Y)
+        if Xa.ndim == 1:
+            Xa = Xa[:, None]
+        if Ya.ndim == 1:
+            Ya = Ya[:, None]
+        n = Xa.shape[0]
+        L = _chol_K(k, Xa, sigma)
+        alpha = linalg.cho_solve(L, Ya)
+        df = -0.5 * jnp.sum(Ya * alpha, axis=0)  # (q,)
+        cp = -0.5 * linalg.logdet_from_chol(L)
+        ct = -n / 2.0 * math.log(2 * math.pi)
+        per_dim = df + cp + ct
+        scalar = jnp.sum(df) + cp + ct
+        return scalar, per_dim
+
+    grad, value = jax.grad(g, has_aux=True)(vec0)
     return value, grad
 
 

@@ -143,18 +143,27 @@ class DualAveragingState(NamedTuple):
 
 
 def _leapfrog(logp_grad_fn, z, p, grad, eps, inv_mass, n_steps):
-    """n_steps of leapfrog; returns (z', p', grad', logp')."""
+    """n_steps of leapfrog; returns (z', p', grad', logp').
+
+    ``logp`` rides the loop carry: with traced ``n_steps``
+    (cfg.jitter_steps) the fori lowers to a while-loop and XLA cannot CSE
+    a post-loop re-evaluation against the final body iteration — that
+    re-evaluation was one full extra O(n^3) value-and-grad per
+    transition."""
 
     def body(_, carry):
-        z, p, grad = carry
+        z, p, grad, _ = carry
         p = p + 0.5 * eps * grad
         z = z + eps * inv_mass * p
         logp, grad = logp_grad_fn(z)
         p = p + 0.5 * eps * grad
-        return (z, p, grad)
+        return (z, p, grad, logp)
 
-    z, p, grad = lax.fori_loop(0, n_steps, body, (z, p, grad))
-    logp, grad = logp_grad_fn(z)
+    # n_steps >= 1 always overwrites; derived from z (not a fresh constant)
+    # so the carry's varying manual axes match the body output under
+    # shard_map — same trick as safe_cholesky's jitter init
+    logp0 = jnp.sum(z * 0) - jnp.inf
+    z, p, grad, logp = lax.fori_loop(0, n_steps, body, (z, p, grad, logp0))
     return z, p, grad, logp
 
 
@@ -556,6 +565,10 @@ def sample_hmc_chunked(
     z0 = jnp.atleast_2d(jnp.asarray(z0))
     n_chains, dim = z0.shape
     logp_grad_fn = jax.value_and_grad(logp_fn)
+    # clamp BEFORE warmup: chunk_size <= 0 would otherwise fall back to
+    # the scan-based warmup (the pathological remote compile this function
+    # exists to avoid — and a trace error under shard_ctx)
+    chunk_size = max(1, min(chunk_size, cfg.num_samples))
 
     states = init_chains(logp_fn, z0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -613,7 +626,6 @@ def sample_hmc_chunked(
         )
 
     keys = jax.random.split(k3, cfg.num_samples)
-    chunk_size = max(1, min(chunk_size, cfg.num_samples))
     n_full, rem = divmod(cfg.num_samples, chunk_size)
     chunk_fn = make_chunk_fn(chunk_size)
     zs_parts, acc_parts = [], []
@@ -664,13 +676,19 @@ def effective_sample_size(samples: jax.Array, max_lag: int = 100) -> jax.Array:
     c, t, d = samples.shape
     x = samples - jnp.mean(samples, axis=1, keepdims=True)
     max_lag = min(max_lag, t - 1)
+    if max_lag < 1:
+        # a single draw carries no autocorrelation information
+        return jnp.full((d,), float(c * t), samples.dtype)
 
     # static python loop over lags (max_lag is a static int; XLA fuses the
     # shifted products into one program)
     acovs = jnp.stack(
         [jnp.mean(x[:, : t - lag] * x[:, lag:], axis=(0, 1)) for lag in range(max_lag)]
     )  # (max_lag, d)
-    rho = acovs / acovs[0]
+    # a constant (stuck) chain has zero variance: define rho = 0 there so
+    # ess degrades to c*t instead of NaN-poisoning the summary
+    var0 = jnp.where(acovs[0] > 0, acovs[0], 1.0)
+    rho = jnp.where(acovs[0] > 0, acovs / var0, jnp.zeros_like(acovs))
     # truncate at first negative autocorrelation
     positive = jnp.cumprod(rho > 0, axis=0).astype(samples.dtype)
     tau = 1.0 + 2.0 * jnp.sum(rho[1:] * positive[1:], axis=0)

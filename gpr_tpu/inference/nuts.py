@@ -326,6 +326,8 @@ def sample_nuts_chunked(
     z0 = jnp.atleast_2d(jnp.asarray(z0))
     n_chains, dim = z0.shape
     logp_grad_fn = jax.value_and_grad(logp_fn)
+    # clamp BEFORE warmup (see sample_hmc_chunked)
+    chunk_size = max(1, min(chunk_size, cfg.num_samples))
     states = init_chains(logp_fn, z0)
     k1, k2, k3 = jax.random.split(key, 3)
 
@@ -359,7 +361,6 @@ def sample_nuts_chunked(
         )
 
     keys = jax.random.split(k3, cfg.num_samples)
-    chunk_size = max(1, min(chunk_size, cfg.num_samples))
     n_full, rem = divmod(cfg.num_samples, chunk_size)
     chunk_fn = make_chunk_fn(chunk_size)
     zs_parts, acc_parts = [], []

@@ -186,7 +186,7 @@ class Gaussian(Kernel):
                 continue
             if getattr(v, "ndim", 0) != 0 and not jnp.isscalar(v):
                 continue
-            if float(v) == 0:
+            if not (float(v) > 0):  # rejects 0, negatives AND NaN
                 raise ValueError(f"GaussianKernel: {name} has to be positive")
 
     def _eval(self, x, y):

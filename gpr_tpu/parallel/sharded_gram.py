@@ -33,6 +33,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..kernels import kernels as kermod
 from ..ops.blocked import cholesky_blocked, solve_triangular_blocked
+from ..utils.config import matmul_precision
 
 
 def default_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
@@ -84,7 +85,8 @@ def _chol_panels(K_local, *, axis: str, D: int, nb: int):
         if k + 1 < D:
             right = panel[(k + 1) * nb :, :]  # (n - (k+1) nb, nb)
             upd = jnp.matmul(
-                panel_local, right.T, preferred_element_type=A.dtype
+                panel_local, right.T, preferred_element_type=A.dtype,
+                precision=matmul_precision(),
             )
             A = A.at[:, (k + 1) * nb :].add(-upd)
     return jnp.concatenate(panels, axis=1)  # (nb, n)
@@ -103,6 +105,71 @@ def cholesky_sharded(K: jax.Array, mesh: Mesh, axis: str = "data") -> jax.Array:
     )(K)
 
 
+def _add_diag_sharded(K: jax.Array, val, mesh: Mesh, axis: str) -> jax.Array:
+    """K + val * I for a row-sharded K (masked add at global offsets)."""
+
+    def f(K_local, v):
+        my = lax.axis_index(axis)
+        nb, n = K_local.shape
+        row = lax.broadcasted_iota(jnp.int32, (nb, n), 0) + my * nb
+        col = lax.broadcasted_iota(jnp.int32, (nb, n), 1)
+        return K_local + jnp.where(row == col, v.astype(K_local.dtype), 0.0)
+
+    return jax.shard_map(
+        f, mesh=mesh, in_specs=(P(axis, None), P()), out_specs=P(axis, None)
+    )(K, jnp.asarray(val, K.dtype))
+
+
+def _diag_mean_sharded(K: jax.Array, mesh: Mesh, axis: str) -> jax.Array:
+    def f(K_local):
+        my = lax.axis_index(axis)
+        nb = K_local.shape[0]
+        blk = lax.dynamic_slice_in_dim(K_local, my * nb, nb, axis=1)
+        return lax.psum(jnp.sum(jnp.abs(jnp.diagonal(blk))), axis)[None]
+
+    tot = jax.shard_map(
+        f, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis)
+    )(K)
+    return tot[0] / K.shape[0]
+
+
+def safe_cholesky_sharded(
+    K: jax.Array, mesh: Mesh, axis: str = "data",
+    initial_jitter: float = 0.0, max_tries: int = 6,
+):
+    """Distributed :func:`gpr_tpu.ops.linalg.safe_cholesky`: jitter
+    escalation around the row-sharded factorization so a near-singular
+    K + sigma^2 I recovers exactly like the single-device path instead of
+    silently returning a NaN factor.  Returns (L row-sharded, jitter)."""
+    dtype = K.dtype
+    eps = jnp.finfo(dtype).eps
+    L0 = cholesky_sharded(K, mesh, axis)
+    # NaN from a failed pivot propagates through every later panel's
+    # trailing update, across devices — the global last pivot detects it
+    ok0 = jnp.isfinite(L0[-1, -1])
+    ij = jnp.asarray(initial_jitter, dtype)
+
+    def cond(st):
+        ok, tries, _, _ = st
+        return jnp.logical_and(jnp.logical_not(ok), tries < max_tries)
+
+    def body(st):
+        _, tries, j, _ = st
+        dm = _diag_mean_sharded(K, mesh, axis)
+        base = jnp.where(ij > 0, ij, eps * jnp.maximum(dm, 1.0)).astype(dtype)
+        jnew = jnp.where(tries == 0, base, j * 10.0)
+        Lnew = cholesky_sharded(
+            _add_diag_sharded(K, jnew, mesh, axis), mesh, axis
+        )
+        return jnp.isfinite(Lnew[-1, -1]), tries + 1, jnew, Lnew
+
+    j0 = jnp.zeros((), dtype) + jnp.asarray(ok0, dtype) * 0
+    _, _, j, L = lax.while_loop(
+        cond, body, (ok0, jnp.asarray(0, jnp.int32), j0, L0)
+    )
+    return L, j
+
+
 def _forward_solve(L_local, B, *, axis: str, D: int, nb: int):
     """L Y = B with L row-sharded, B replicated -> Y replicated.
     Owner-computes + psum-broadcast per block row."""
@@ -115,7 +182,8 @@ def _forward_solve(L_local, B, *, axis: str, D: int, nb: int):
         if k > 0:
             left = L_local[:, : k * nb]  # (nb, k nb)
             rhs = rhs - jnp.matmul(
-                left, Y[: k * nb], preferred_element_type=B.dtype
+                left, Y[: k * nb], preferred_element_type=B.dtype,
+                precision=matmul_precision(),
             )
         yk = solve_triangular_blocked(Lkk, rhs)
         yk = jnp.where(my == k, yk, jnp.zeros_like(yk))
@@ -140,6 +208,7 @@ def _backward_solve(L_local, Ymid, *, axis: str, D: int, nb: int):
                 Lk_cols.T,
                 lax.dynamic_slice_in_dim(X, my * nb, nb, axis=0),
                 preferred_element_type=X.dtype,
+                precision=matmul_precision(),
             ),
             jnp.zeros((nb, X.shape[1]), X.dtype),
         )
@@ -199,7 +268,7 @@ def fit_sharded(
     K = jax.shard_map(
         add_noise, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None)
     )(K)
-    L = cholesky_sharded(K, mesh, axis)
+    L, _ = safe_cholesky_sharded(K, mesh, axis)
     alpha = cho_solve_sharded(L, Y, mesh, axis)
 
     def local_logdet(L_local):

@@ -30,10 +30,9 @@ from ..inference import hmc as hmc_mod
 
 
 def default_mesh(n_devices: Optional[int] = None, axis: str = "chains") -> Mesh:
-    devs = jax.devices()
-    if n_devices is not None:
-        devs = devs[:n_devices]
-    return Mesh(np.array(devs), (axis,))
+    from .sharded_gram import default_mesh as _dm
+
+    return _dm(n_devices, axis)
 
 
 def initialize_distributed(coordinator: Optional[str] = None, **kw) -> None:
@@ -153,10 +152,10 @@ def sample_hmc_sharded_chunked(
 
     Per-chain keys are sliced from the same global key set a single-device
     ``sample_hmc_chunked`` run consumes, and warmup draws return as global
-    arrays (mass estimation over all chains at host level), so draws match
-    the single-device chunked sampler to floating-point rounding — the only
-    divergence source is the hierarchical (per-device mean, then pmean)
-    acceptance statistic."""
+    arrays (mass estimation over all chains at host level), and the warmup
+    acceptance statistic is an all-gathered FLAT mean (not a hierarchical
+    per-device-then-pmean reduction), so draws are bitwise identical to
+    the single-device chunked sampler (tested)."""
     if cfg is None:
         cfg = hmc_mod.HMCConfig()
     if mesh is None:

@@ -235,3 +235,27 @@ class TestShardedWindowedNUTS:
         np.testing.assert_allclose(s.std(0), np.asarray(scales), rtol=0.35)
         im = np.asarray(res.inv_mass)
         assert im[1] / im[0] > 100
+
+
+def test_safe_cholesky_sharded_escalates():
+    """A singular sharded K recovers via jitter escalation (parity with
+    the single-device safe_cholesky); a healthy K uses zero jitter."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+    from gpr_tpu.parallel import sharded_gram as sg
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = sg.default_mesh(8)
+    rng = np.random.default_rng(3)
+    G = rng.standard_normal((64, 64))
+    A = jnp.asarray(G @ G.T + 64 * np.eye(64))
+    L, j = sg.safe_cholesky_sharded(A, mesh)
+    assert float(j) == 0.0
+    ref = np.linalg.cholesky(np.asarray(A))
+    np.testing.assert_allclose(np.asarray(L), ref, atol=1e-8)
+    bad = jnp.zeros((64, 64))
+    Lb, jb = sg.safe_cholesky_sharded(bad, mesh)
+    assert float(jb) > 0.0
+    assert bool(jnp.all(jnp.isfinite(Lb)))
