@@ -32,12 +32,24 @@ from ..pipeline import imageio
 
 def _empty_dir(path: str) -> None:
     """Move any existing files back to the parent (reference
-    create_pairs.py:8-15) so re-splitting is idempotent."""
+    create_pairs.py:8-15) so re-splitting is idempotent.  Only for
+    create_pairs, whose splits MOVE source files; splitting stages that
+    COPY must use :func:`_clear_dir` (reference main.py:240-250 removes)
+    or stale numbered copies pollute the source directory."""
     if os.path.exists(path):
         for f in os.listdir(path):
             shutil.move(os.path.join(path, f), os.path.dirname(path))
     else:
         os.makedirs(path)
+
+
+def _clear_dir(path: str) -> None:
+    """Delete the directory's files (reference main.py:240-250)."""
+    if os.path.isdir(path):
+        for f in os.listdir(path):
+            os.remove(os.path.join(path, f))
+    else:
+        os.makedirs(path, exist_ok=True)
 
 
 def create_pairs(
@@ -87,6 +99,11 @@ def create_pairs(
         if len(split) != 5:
             raise ValueError("split indices not correctly defined for AR")
         split_ar, split = split[:2], split[2:]
+    elif len(split) != 3:
+        # the reference asserts len(split) == 3 before any file moves
+        # (create_pairs.py:105); a 5-entry split without ar would index
+        # past the three destination dirs mid-move
+        raise ValueError(f"{root}: split indices not correctly defined")
         if pairs_ind.shape[0] % (sum(split) + offset) != 0:
             raise ValueError(
                 f"split indices ({sum(split)+offset}) do not fit dataset "
@@ -136,10 +153,16 @@ def dvf_roi(files: Sequence[str]) -> Dict[str, int]:
     lo = np.array([np.iinfo(np.int64).max] * 3)
     hi = np.array([np.iinfo(np.int64).min] * 3)
     for f in files:
-        mag = np.abs(imageio.read_image(f).data).sum(axis=-1)  # (z, y, x)
+        # SIGNED component sum with strictly-positive tests, exactly like
+        # the reference (preprocess_dvf.py:36 'np.sum(arr, axis=3)' and
+        # the '> 0' slice checks at :43-69) — an abs-sum would include
+        # slices the reference excludes and change the crop dimensions
+        mag = imageio.read_image(f).data.sum(axis=-1)  # (z, y, x)
         if mag.max() == 0:
             continue  # master
-        nz = np.nonzero(mag)
+        nz = np.nonzero(mag > 0)
+        if nz[0].size == 0:
+            continue
         for ax in range(3):
             lo[ax] = min(lo[ax], nz[ax].min())
             hi[ax] = max(hi[ax], nz[ax].max())
@@ -233,7 +256,7 @@ def split_train_test(
         train_dir = os.path.join(current_dir, "train")
         test_dir = os.path.join(current_dir, "test")
         for d in (train_dir, test_dir):
-            _empty_dir(d)
+            _clear_dir(d)
         for itr, f in enumerate(files[:n_training_imgs]):
             shutil.copyfile(f, os.path.join(train_dir, ("%05d." % itr) + fmt))
         for itr, f in enumerate(files[n_training_imgs:]):

@@ -31,6 +31,8 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.config import matmul_precision
+
 from ..utils import matrixio
 
 BatchSpec = Sequence[Tuple[int, int]]  # [(batch_size, repetitions), ...]
@@ -126,8 +128,9 @@ def predict_ar(
     p = theta.shape[0]
     if batches is None:
         batches = default_batches(X.shape[0], p)
-        if one_prediction_per_batch is None:
-            one_prediction_per_batch = True
+        # the reference forces this UNCONDITIONALLY in the default-batch
+        # branch (AutoRegression.h:125 'onePredictionPerBatch = true')
+        one_prediction_per_batch = True
     if one_prediction_per_batch is None:
         one_prediction_per_batch = False
     sizes = _validate(X.shape[0], batches)
@@ -138,7 +141,8 @@ def predict_ar(
     # column 0 (reference AutoRegression.h:166-173).  n is static.
     Y = None
     for _ in range(n):
-        Y = jnp.einsum("kpf,pf->kf", D, theta)
+        Y = jnp.einsum("kpf,pf->kf", D, theta,
+                       precision=matmul_precision())
         D = jnp.concatenate([Y[:, None, :], D[:, : p - 1, :]], axis=1)
 
     assert Y is not None, "n-step count must be >= 1"

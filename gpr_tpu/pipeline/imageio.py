@@ -141,10 +141,16 @@ def read_vtk(path: str) -> Image:
             kind = "SCALARS"
             dtype = _VTK_TO_NP[tok[2]]
             ncomp = int(tok[3]) if len(tok) > 3 else 1
-            lookup = next_line()
+            # some writers omit LOOKUP_TABLE: remember the RAW byte offset
+            # and rewind to it (the decoded/stripped line length miscounts
+            # for CRLF endings, padded lines, or binary payload bytes)
+            mark = pos
+            try:
+                lookup = next_line()
+            except ValueError:  # binary payload without any newline byte
+                lookup = ""
             if not lookup.upper().startswith("LOOKUP_TABLE"):
-                # some writers omit it; rewind
-                pos -= len(lookup) + 1
+                pos = mark
             break
         elif key == "VECTORS":
             kind = "VECTORS"

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax import tree_util
 
 from ..utils import matrixio
+from ..utils.config import matmul_precision
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,8 +50,13 @@ class PCAModel:
 
     def basis(self, n_features: int = 0) -> jax.Array:
         """Whitened basis U diag(sigma)^-1, optionally truncated
-        (reference PCA.h:82-90)."""
-        B = self.U / self.sigma[None, :]
+        (reference PCA.h:82-90).
+
+        Zero singular values (the centered matrix is always rank-deficient:
+        rank <= N-1, and the Gram path clamps tiny negative eigenvalues to
+        exactly 0) get a ZERO basis column instead of inf/NaN."""
+        safe = jnp.where(self.sigma > 0, self.sigma, 1.0)
+        B = jnp.where(self.sigma[None, :] > 0, self.U / safe[None, :], 0.0)
         if 0 < n_features < B.shape[1]:
             B = B[:, :n_features]
         return B
@@ -62,7 +68,7 @@ class PCAModel:
         Xc = X - self.mean[:, None]
         F = jax.lax.dot_general(
             self.basis(), Xc, (((0,), (0,)), ((), ())),
-            preferred_element_type=X.dtype,
+            preferred_element_type=X.dtype, precision=matmul_precision(),
         )
         if 0 < n_features < F.shape[0]:
             F = F[:n_features]
@@ -72,9 +78,14 @@ class PCAModel:
         """X = (U diag(sigma))[:, :k] weights + mean: (k, N) -> (d, N)
         (reference GetReconstruction, PCA.h:110-115)."""
         W = jnp.asarray(weights)
+        single = W.ndim == 1
+        if single:
+            W = W[:, None]
         k = W.shape[0] if n_features is None else n_features
         inv_basis = self.U[:, :k] * self.sigma[None, :k]
-        return inv_basis @ W[:k] + self.mean[:, None]
+        out = jnp.matmul(inv_basis, W[:k], precision=matmul_precision())
+        out = out + self.mean[:, None]
+        return out[:, 0] if single else out
 
     def explained_variance(self) -> jax.Array:
         """Cumulative normalized spectrum (reference GetExplainedVariance,
@@ -121,7 +132,8 @@ def fit_pca(X, gram_threshold: int = 4096) -> PCAModel:
 
     if d > N and d > gram_threshold:
         G = jax.lax.dot_general(
-            Xc, Xc, (((0,), (0,)), ((), ())), preferred_element_type=X.dtype
+            Xc, Xc, (((0,), (0,)), ((), ())), preferred_element_type=X.dtype,
+            precision=matmul_precision(),
         )  # (N, N) = Xc^T Xc
         evals, V = jnp.linalg.eigh(G)  # ascending
         evals = jnp.maximum(evals[::-1], 0.0)
@@ -129,7 +141,7 @@ def fit_pca(X, gram_threshold: int = 4096) -> PCAModel:
         s = jnp.sqrt(evals)  # singular values of Xc
         # guard the inverse scale for (numerically) zero singular values
         safe = jnp.where(s > 0, s, 1.0)
-        U = (Xc @ V) / safe[None, :]
+        U = jnp.matmul(Xc, V, precision=matmul_precision()) / safe[None, :]
     else:
         U, s, _ = jnp.linalg.svd(Xc, full_matrices=False)
 
