@@ -31,7 +31,7 @@ from .kernels.kernels import (  # noqa: F401
 )
 from .kernels.dsl import kernel_to_string, parse_kernel  # noqa: F401
 from .kernels.utils import get_general_kernel  # noqa: F401
-from .gp.exact import GP, extend, fit, load  # noqa: F401
+from .gp.exact import GP, extend, fit, load, shrink  # noqa: F401
 from .gp.sparse import SparseGP, fit_sparse, fit_svgp  # noqa: F401
 from .gp.batched import fit_batched, mll_batched, predict_batched  # noqa: F401
 from .gp import likelihood  # noqa: F401

@@ -461,3 +461,57 @@ def extend(gp: GP, Xn, Yn, jitter: float = 0.0) -> GP:
     alpha = linalg.cho_solve(Lnew, Y)
     return GP(kernel=gp.kernel, X=X, Y=Y, sigma=gp.sigma, alpha=alpha,
               L=Lnew)
+
+
+def _cholupdate(L: jax.Array, v: jax.Array) -> jax.Array:
+    """chol(L L^T + v v^T) by the classic sequential column sweep
+    (Golub & Van Loan 6.5.4), expressed as a ``fori_loop`` with full-column
+    masked ops so every iteration has static shapes."""
+    n = L.shape[0]
+    rows = jnp.arange(n)[:, None]
+    cols = jnp.arange(n)[None, :]
+
+    def body(j, carry):
+        L, v = carry
+        d = jax.lax.dynamic_slice(L, (j, j), (1, 1))[0, 0]
+        vj = jax.lax.dynamic_slice(v, (j,), (1,))[0]
+        r = jnp.sqrt(d * d + vj * vj)
+        c = r / d
+        s = vj / d
+        colj = jax.lax.dynamic_slice(L, (0, j), (n, 1))[:, 0]
+        below = rows[:, 0] > j
+        new_col = jnp.where(below, (colj + s * v) / c, colj)
+        new_col = jnp.where(rows[:, 0] == j, r, new_col)
+        L = jnp.where(cols == j, new_col[:, None], L)
+        v = jnp.where(below, c * v - s * new_col, v)
+        return L, v
+
+    L, _ = jax.lax.fori_loop(0, n, body, (L, jnp.asarray(v, L.dtype)))
+    return L
+
+
+def shrink(gp: GP, k: int = 1) -> GP:
+    """Drop the OLDEST ``k`` samples in O(n^2 k) — the sliding-window
+    companion of :func:`extend` (together they replace the reference's
+    full per-window re-fit in the drift loop, scripts/validation_drift.py
+    semantics re-built in apps/drift.py).
+
+    Removing row 0 of A leaves A' whose factor satisfies
+    L22' L22'^T = L22 L22^T + l21 l21^T with [l11; l21; L22] the old
+    factor's first column split — one rank-1 Cholesky UPDATE of the
+    trailing block per dropped sample.  Equal to ``fit`` on the remaining
+    data up to float rounding."""
+    if gp.L is None:
+        raise ValueError(
+            "shrink: efficient-storage GP has no factor; call "
+            "gp.materialize() first"
+        )
+    if not 0 < k < gp.num_samples:
+        raise ValueError(f"shrink: k={k} outside (0, {gp.num_samples})")
+    L = gp.L
+    for _ in range(k):
+        L = _cholupdate(L[1:, 1:], L[1:, 0])
+    X = gp.X[k:]
+    Y = gp.Y[k:]
+    alpha = linalg.cho_solve(L, Y)
+    return GP(kernel=gp.kernel, X=X, Y=Y, sigma=gp.sigma, alpha=alpha, L=L)

@@ -283,3 +283,39 @@ class TestExtend:
                         np.asarray(gp.Y), sigma=0.05)
         np.testing.assert_allclose(np.asarray(gp.alpha),
                                    np.asarray(ref.alpha), atol=1e-8)
+
+    def test_shrink_matches_refit(self):
+        import numpy as np
+        import gpr_tpu as gt
+        from gpr_tpu.gp import exact
+
+        rng = np.random.default_rng(31)
+        X = rng.standard_normal((25, 2))
+        Y = np.sin(X.sum(-1, keepdims=True))
+        k = gt.Gaussian(1.3, 0.9)
+        gp = exact.fit(k, X, Y, sigma=0.1)
+        small = exact.shrink(gp, 6)
+        ref = exact.fit(k, X[6:], Y[6:], sigma=0.1)
+        np.testing.assert_allclose(np.asarray(small.L), np.asarray(ref.L),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(small.alpha),
+                                   np.asarray(ref.alpha), atol=1e-8)
+
+    def test_sliding_window_extend_shrink(self):
+        """extend + shrink = an O(n^2) window slide matching a fresh fit."""
+        import numpy as np
+        import gpr_tpu as gt
+        from gpr_tpu.gp import exact
+
+        rng = np.random.default_rng(33)
+        X = rng.standard_normal((20, 1))
+        Y = np.sin(X)
+        gp = exact.fit(gt.Gaussian(1.0, 1.0), X, Y, sigma=0.05)
+        for _ in range(3):
+            xn = rng.standard_normal((2, 1))
+            gp = exact.shrink(exact.extend(gp, xn, np.sin(xn)), 2)
+        assert gp.num_samples == 20
+        ref = exact.fit(gt.Gaussian(1.0, 1.0), np.asarray(gp.X),
+                        np.asarray(gp.Y), sigma=0.05)
+        np.testing.assert_allclose(np.asarray(gp.alpha),
+                                   np.asarray(ref.alpha), atol=1e-7)
