@@ -41,7 +41,18 @@ EOF
     # 3. headline fit() after the round-2 block-tree/tril-gram work
     timeout 1200 python bench.py
     [ "$step" = headline ] && exit 0 ;;&
+  inplace|all)
+    # 4. in-place wide-panel Cholesky vs recursive (first at 8k, then 16k)
+    timeout 1800 python benchmarks/exp_inplace.py 8192
+    timeout 1800 python benchmarks/exp_inplace.py 16384
+    [ "$step" = inplace ] && exit 0 ;;&
   solve|all)
-    # 4. narrow-rhs streaming cho_solve vs blocked solve at n=16k
-    timeout 1200 python benchmarks/exp_trtri.py 2>/dev/null || true ;;
+    # 5. narrow-rhs streaming cho_solve vs blocked solve at n=16k q=8
+    timeout 1800 python benchmarks/exp_solve.py
+    [ "$step" = solve ] && exit 0 ;;&
+  fit_ab|all)
+    # 6. headline fit() under the winning schedule flags (flip defaults
+    #    in code after recording; these are the A/B probes)
+    GPR_SOLVE_SCHEDULE=narrow timeout 1200 python bench.py
+    GPR_CHOL_SCHEDULE=inplace GPR_SOLVE_SCHEDULE=narrow timeout 1200 python bench.py ;;
 esac

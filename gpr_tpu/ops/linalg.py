@@ -292,9 +292,28 @@ def safe_cholesky(
     )
 
 
+def _solve_schedule() -> str:
+    """Large-factor solve schedule: 'blocked' (ops/blocked.py recursive
+    solves, the round-1 default) or 'narrow' (ops/pallas_solve.py streaming
+    substitution — one pallas pass per sweep, skinny rhs only).
+    GPR_SOLVE_SCHEDULE overrides for on-chip A/B."""
+    import os
+
+    return os.environ.get("GPR_SOLVE_SCHEDULE", "blocked")
+
+
 def cho_solve(L: jax.Array, b: jax.Array) -> jax.Array:
     """Solve A x = b where A = L L^T (blocked solves for large factors)."""
     if L.ndim == 2 and L.shape[0] >= _BLOCKED_MIN_N:
+        if _solve_schedule() == "narrow":
+            from .pallas_solve import cho_solve_narrow, solve_narrow_usable
+
+            q = 1 if b.ndim == 1 else b.shape[-1]
+            interp = jax.default_backend() != "tpu"
+            if solve_narrow_usable(
+                L.shape[0], q, L.dtype, allow_interpret=interp
+            ):
+                return cho_solve_narrow(L, b, interpret=interp)
         from .blocked import cho_solve_blocked
 
         return cho_solve_blocked(L, b)

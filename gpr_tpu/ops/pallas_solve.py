@@ -170,15 +170,18 @@ def _diag_block_inverses(L, bs: int):
     )
 
 
-def solve_narrow_usable(n: int, q: int, dtype, bs: int = 512) -> bool:
+def solve_narrow_usable(
+    n: int, q: int, dtype, bs: int = 512, allow_interpret: bool = False
+) -> bool:
     """The streaming kernel applies to f32, bs-aligned n, skinny rhs, on a
-    real TPU backend (interpret mode is for tests)."""
+    real TPU backend (``allow_interpret`` admits the interpret-mode path so
+    the CPU test suite can exercise the dispatch)."""
     return (
         dtype == jnp.float32
         and n % bs == 0
         and n // bs >= 2
         and q <= 128
-        and jax.default_backend() == "tpu"
+        and (allow_interpret or jax.default_backend() == "tpu")
     )
 
 

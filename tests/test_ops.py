@@ -644,6 +644,29 @@ class TestPallasSolveNarrow:
     def test_bs1024(self):
         self._case(3072, 8, 1024)
 
+    def test_cho_solve_dispatch_env(self, monkeypatch):
+        """GPR_SOLVE_SCHEDULE=narrow routes linalg.cho_solve through the
+        streaming kernel (interpret on CPU) and matches the blocked path."""
+        import scipy.linalg as sla
+
+        rng = np.random.default_rng(18)
+        n, q = 1024, 8
+        X = rng.standard_normal((n, 64)).astype(np.float32)
+        A = X @ X.T / 64 + 4.0 * np.eye(n, dtype=np.float32)
+        Lh = np.linalg.cholesky(A).astype(np.float32)
+        B = rng.standard_normal((n, q)).astype(np.float32)
+        monkeypatch.setenv("GPR_SOLVE_SCHEDULE", "narrow")
+        got = np.asarray(linalg.cho_solve(jnp.asarray(Lh), jnp.asarray(B)))
+        ref = sla.cho_solve((Lh, True), B)
+        rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+        assert rel < 5e-6, rel
+        # wide rhs (q > 128) must fall back to the blocked path, not error
+        Bw = rng.standard_normal((n, 130)).astype(np.float32)
+        gw = np.asarray(linalg.cho_solve(jnp.asarray(Lh), jnp.asarray(Bw)))
+        np.testing.assert_allclose(
+            gw, sla.cho_solve((Lh, True), Bw), atol=1e-4
+        )
+
     def test_vector_rhs(self):
         from gpr_tpu.ops.pallas_solve import cho_solve_narrow
         import scipy.linalg as sla
