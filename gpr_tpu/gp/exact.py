@@ -173,6 +173,40 @@ class GP:
             return self
         return dataclasses.replace(self, L=self._require_core())
 
+    # --- diagnostics --------------------------------------------------------
+    def describe(self) -> str:
+        """Human-readable model summary — the reference's ``ToString``
+        (lib/GaussianProcess.cpp:268-288), returned instead of printed."""
+        bar = "---------------------------------------"
+        lines = [
+            bar,
+            "Gaussian Process",
+            f" - initialized:\t\t{self.alpha is not None}",
+            f" - # samples:\t\t{self.num_samples}",
+            f" - # labels:\t\t{self.Y.shape[0]}",
+            f" - noise:\t\t{float(self.sigma)}",
+            f" - input dimension:\t{self.input_dim}",
+            f" - output dimension:\t{self.output_dim}",
+            "",
+            " - Kernel:",
+            f"       - Type:\t\t{kernel_to_string(self.kernel)}",
+            bar,
+        ]
+        return "\n".join(lines)
+
+    def inversion_error(self) -> jax.Array:
+        """Frobenius norm ‖(K + sigma² I)·C − I‖ with C = (L Lᵀ)⁻¹ — the
+        reference's debug-mode inversion check
+        (lib/GaussianProcess.cpp:507-509).  O(n³); diagnostics only."""
+        L = self._require_core()
+        K = kermod.gram(self.kernel, self.X)
+        K = linalg.add_diagonal(K, jnp.asarray(self.sigma, K.dtype) ** 2)
+        eye = jnp.eye(K.shape[0], dtype=K.dtype)
+        C = linalg.cho_solve(L, eye)
+        return jnp.linalg.norm(
+            jnp.matmul(K, C, precision=matmul_precision()) - eye
+        )
+
     @property
     def num_samples(self) -> int:
         return self.X.shape[0]

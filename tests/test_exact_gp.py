@@ -152,6 +152,27 @@ def test_efficient_storage_mode():
     )
 
 
+def test_describe_and_inversion_error():
+    """Reference ToString (lib/GaussianProcess.cpp:268-288) and the
+    debug-mode inversion check (:507-509): the summary carries the model
+    facts and the Cholesky-based core reproduces (K+sigma^2 I)^-1 to
+    near-machine accuracy."""
+    k = gt.Gaussian(2.0, 1.5)
+    xs = np.linspace(0, 5, 9)
+    gp = gt.fit(k, xs[:, None], np.sin(xs)[:, None], sigma=0.1)
+    s = gp.describe()
+    assert "Gaussian Process" in s
+    assert "# samples:\t\t9" in s
+    assert "GaussianKernel" in s
+    assert "input dimension:\t1" in s
+    err = float(gp.inversion_error())
+    assert err < 1e-10, err  # f64 on the CPU suite
+    # efficient-storage models recompute the factor transparently
+    gp_eff = gt.fit(k, xs[:, None], np.sin(xs)[:, None], sigma=0.1,
+                    efficient_storage=True)
+    assert float(gp_eff.inversion_error()) < 1e-10
+
+
 def test_save_load_roundtrip(tmp_path):
     """Reference tests/IOTest.cpp: full GP save/load round-trips under deep
     operator== (incl. efficient-storage variant)."""
