@@ -31,6 +31,7 @@ structural; the Jacobian term sum(z) is included in the log posterior.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, NamedTuple, Optional, Sequence
 
 import jax
@@ -38,6 +39,25 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..gp import likelihood as lk
+
+
+@functools.partial(jax.jit, static_argnames=("drop",))
+def _shrunk_mass(zs, drop: int = 0):
+    """Stan-regularized diagonal mass from warmup draws, as ONE jitted
+    dispatch (the eager op-by-op form cost ~6 host round-trips per warmup
+    window over the remote-tunnel backend).  ``zs``: (T, chains, dim);
+    ``drop`` discards the first draws (static, baked per shape)."""
+    flat = zs[drop:].reshape(-1, zs.shape[-1])
+    mean = jnp.mean(flat, axis=0)
+    var = jnp.mean((flat - mean) ** 2, axis=0)
+    w = flat.shape[0]
+    return (w / (w + 5.0)) * var + (5.0 / (w + 5.0)) * 1e-3
+
+
+@jax.jit
+def _da_init(eps0):
+    """(mu, log_eps0) for dual averaging in one dispatch."""
+    return jnp.log(10.0 * eps0), jnp.log(eps0)
 
 
 def _cached_program(anchor, key, build):
@@ -261,7 +281,7 @@ def _warmup_scan(logp_grad_fn, states, key, eps0, inv_mass, cfg, n_steps,
         def transition(s, k, eps, im):
             return _hmc_transition(logp_grad_fn, s, k, eps, im, cfg)
 
-    mu = jnp.log(10.0 * eps0)
+    mu, log_eps0 = _da_init(eps0)
     t0, gamma, kappa = 10.0, 0.05, 0.75
 
     def step_fn(carry, key_t, mu=mu, inv_mass=inv_mass):
@@ -295,7 +315,8 @@ def _warmup_scan(logp_grad_fn, states, key, eps0, inv_mass, cfg, n_steps,
         return (new_states, log_eps, log_eps_bar, h_bar, t), (new_states.z, mean_accept)
 
     keys = jax.random.split(key, n_steps)
-    init = (states, jnp.log(eps0), jnp.log(eps0), jnp.asarray(0.0, states.z.dtype), jnp.asarray(0.0, states.z.dtype))
+    zero = jnp.asarray(0.0, states.z.dtype)
+    init = (states, log_eps0, log_eps0, zero, zero)
     if unroll_chunk > 0:
         chunk = max(1, min(unroll_chunk, n_steps))
 
@@ -303,9 +324,15 @@ def _warmup_scan(logp_grad_fn, states, key, eps0, inv_mass, cfg, n_steps,
             # mu / inv_mass enter as traced arguments, NOT closure
             # constants: every warmup stage then lowers to the same HLO,
             # so in-process and persistent compile caches hit across
-            # stages and invocations.
+            # stages and invocations.  The chunk's keys are sliced from the
+            # FULL key array inside the program (traced offset) — an eager
+            # host-side slice per chunk is one extra round-trip each on the
+            # remote-tunnel backend.
             def build():
-                def run(carry, keys_chunk, mu, inv_mass):
+                def run(carry, keys_all, off, mu, inv_mass):
+                    keys_chunk = lax.dynamic_slice_in_dim(
+                        keys_all, off, length, axis=0
+                    )
                     zs, accs = [], []
                     for t in range(length):
                         carry, (z, a) = step_fn(
@@ -331,7 +358,7 @@ def _warmup_scan(logp_grad_fn, states, key, eps0, inv_mass, cfg, n_steps,
                 return jax.shard_map(
                     run,
                     mesh=shard_ctx.mesh,
-                    in_specs=(carry_spec, s(), s(), s()),
+                    in_specs=(carry_spec, s(), s(), s(), s()),
                     out_specs=(carry_spec, s(None, "chains", None), s()),
                     check_vma=False,
                 )
@@ -359,13 +386,13 @@ def _warmup_scan(logp_grad_fn, states, key, eps0, inv_mass, cfg, n_steps,
         carry, zs_parts, acc_parts = init, [], []
         for c in range(n_full):
             carry, zs_c, acc_c = chunk_fn(
-                carry, keys[c * chunk : (c + 1) * chunk], mu, inv_mass
+                carry, keys, c * chunk, mu, inv_mass
             )
             zs_parts.append(zs_c)
             acc_parts.append(acc_c)
         if rem:
             carry, zs_c, acc_c = make_chunk_fn(rem)(
-                carry, keys[-rem:], mu, inv_mass
+                carry, keys, n_full * chunk, mu, inv_mass
             )
             zs_parts.append(zs_c)
             acc_parts.append(acc_c)
@@ -426,17 +453,20 @@ def _adapt_phase(
     master key.  Returns (states, step_size, inv_mass)."""
     inv_mass = jnp.ones((dim,), dtype)
 
-    def _estimate_mass(zs):
-        flat = zs.reshape(-1, dim)
+    def _estimate_mass(zs, drop: int = 0):
+        if cross_chain_moments is None:
+            # one jitted dispatch instead of ~6 eager ops (each a host
+            # round-trip on the remote-tunnel backend)
+            return _shrunk_mass(zs, drop=drop)
+        flat = zs[drop:].reshape(-1, dim)
         mean = jnp.mean(flat, axis=0)
         var = jnp.mean((flat - mean) ** 2, axis=0)
         w = flat.shape[0]
-        if cross_chain_moments is not None:
-            # the hook combines moments across devices AND scales the draw
-            # count: the Stan shrinkage weight must use the GLOBAL count or
-            # a sharded run regularizes world_size-times harder than the
-            # single-device run it is supposed to reproduce
-            mean, var, w = cross_chain_moments(mean, var, w)
+        # the hook combines moments across devices AND scales the draw
+        # count: the Stan shrinkage weight must use the GLOBAL count or
+        # a sharded run regularizes world_size-times harder than the
+        # single-device run it is supposed to reproduce
+        mean, var, w = cross_chain_moments(mean, var, w)
         # regularized like Stan: shrink toward unit
         return (w / (w + 5.0)) * var + (5.0 / (w + 5.0)) * 1e-3
 
@@ -473,7 +503,7 @@ def _adapt_phase(
         )
 
         # mass estimation from the second half of stage-1 draws (all chains)
-        inv_mass = _estimate_mass(zs1[n_w1 // 2 :])
+        inv_mass = _estimate_mass(zs1, drop=n_w1 // 2)
 
         # warmup stage 2: re-adapt step size under the new metric
         states, eps2, _, _ = _warmup_scan(
@@ -586,7 +616,10 @@ def sample_hmc_chunked(
         # adapted values into the program and force a fresh compile per
         # run — prohibitive over the remote-tunnel backend).
         def build():
-            def run(states, keys_chunk, eps, inv_mass):
+            def run(states, keys_all, off, eps, inv_mass):
+                keys_chunk = lax.dynamic_slice_in_dim(
+                    keys_all, off, length, axis=0
+                )
                 zs, accs = [], []
                 for t in range(length):
                     states, a = jax.vmap(
@@ -612,7 +645,7 @@ def sample_hmc_chunked(
             return jax.shard_map(
                 run,
                 mesh=shard_ctx.mesh,
-                in_specs=(state_spec, s(), s(), s()),
+                in_specs=(state_spec, s(), s(), s(), s()),
                 out_specs=(
                     state_spec,
                     s(None, "chains", None),
@@ -631,13 +664,13 @@ def sample_hmc_chunked(
     zs_parts, acc_parts = [], []
     for c in range(n_full):
         states, zs_c, acc_c = chunk_fn(
-            states, keys[c * chunk_size : (c + 1) * chunk_size], eps2, inv_mass
+            states, keys, c * chunk_size, eps2, inv_mass
         )
         zs_parts.append(zs_c)
         acc_parts.append(acc_c)
     if rem:
         states, zs_c, acc_c = make_chunk_fn(rem)(
-            states, keys[-rem:], eps2, inv_mass
+            states, keys, n_full * chunk_size, eps2, inv_mass
         )
         zs_parts.append(zs_c)
         acc_parts.append(acc_c)

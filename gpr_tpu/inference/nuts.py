@@ -343,7 +343,12 @@ def sample_nuts_chunked(
 
     def make_chunk_fn(length: int):
         def build():
-            def run(states, keys_chunk, eps, inv_mass):
+            def run(states, keys_all, off, eps, inv_mass):
+                # in-program key slice: one host-level dispatch per chunk
+                # (see hmc.sample_hmc_chunked)
+                keys_chunk = lax.dynamic_slice_in_dim(
+                    keys_all, off, length, axis=0
+                )
                 zs, accs = [], []
                 for t in range(length):
                     keys = jax.random.split(keys_chunk[t], n_chains)
@@ -366,13 +371,13 @@ def sample_nuts_chunked(
     zs_parts, acc_parts = [], []
     for c in range(n_full):
         states, zs_c, acc_c = chunk_fn(
-            states, keys[c * chunk_size : (c + 1) * chunk_size], eps2, inv_mass
+            states, keys, c * chunk_size, eps2, inv_mass
         )
         zs_parts.append(zs_c)
         acc_parts.append(acc_c)
     if rem:
         states, zs_c, acc_c = make_chunk_fn(rem)(
-            states, keys[-rem:], eps2, inv_mass
+            states, keys, n_full * chunk_size, eps2, inv_mass
         )
         zs_parts.append(zs_c)
         acc_parts.append(acc_c)
