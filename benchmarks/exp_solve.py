@@ -94,6 +94,16 @@ def main():
 
     time_variant("narrow_bs1024", narrow_bs1024)
 
+    def narrow_bs512_pallasinv(L, B):
+        return cho_solve_narrow(L, B, bs=512, diag_inv="pallas")
+
+    time_variant("narrow_bs512_pallasinv", narrow_bs512_pallasinv)
+
+    def narrow_bs1024_pallasinv(L, B):
+        return cho_solve_narrow(L, B, bs=1024, diag_inv="pallas")
+
+    time_variant("narrow_bs1024_pallasinv", narrow_bs1024_pallasinv)
+
 
 if __name__ == "__main__":
     main()

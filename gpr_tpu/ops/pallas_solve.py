@@ -170,6 +170,72 @@ def _diag_block_inverses(L, bs: int):
     )
 
 
+def _diag_inv_kernel(l_ref, o_ref, *, b: int, sw: int):
+    """Invert one (b, b) lower-triangular diagonal tile entirely in VMEM
+    via the bottom-up strip scheme of ops/pallas_panel._inv_upper (the
+    validated panel-factorizer inverse): W = inv(L_ii) = inv_upper(L_ii^T)^T.
+    The strict upper of the streamed tile is masked (defensive — the
+    factorizers emit exact zeros there, but the contract is lower-only)."""
+    from .pallas_panel import _inv_upper
+
+    tile = l_ref[:]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    low = jnp.where(rows >= cols, tile, 0.0)
+    o_ref[0] = _inv_upper(low.T, b, sw).T
+
+
+def _diag_block_inverses_pallas(
+    L, bs: int, *, sw: int = 8, interpret: bool = False
+):
+    """Pallas replacement for :func:`_diag_block_inverses`: each diagonal
+    tile is inverted in VMEM (no XLA triangular-solve custom call, whose
+    batched TPU lowering runs a sequential blocked substitution per block).
+    Tiles up to 512 invert directly; bs=1024 combines pairs of 512-tile
+    inverses with the block-triangular identity
+    ``inv([[A,0],[C,D]]) = [[inv(A),0],[-inv(D) C inv(A), inv(D)]]``
+    (two batched MXU GEMMs — no extra custom calls)."""
+    n = L.shape[0]
+    if bs <= 512:
+        nb = n // bs
+        return pl.pallas_call(
+            functools.partial(_diag_inv_kernel, b=bs, sw=sw),
+            out_shape=jax.ShapeDtypeStruct((nb, bs, bs), L.dtype),
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((bs, bs), lambda i: (i, i), memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec(
+                (1, bs, bs), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(L)
+    if bs != 1024:
+        raise ValueError(f"_diag_block_inverses_pallas: unsupported bs={bs}")
+    h = 512
+    W = _diag_block_inverses_pallas(L, h, sw=sw, interpret=interpret)
+    nb = n // bs
+    W1, W2 = W[0::2], W[1::2]  # (nb, h, h) each
+    C = jnp.stack(
+        [L[i * bs + h : (i + 1) * bs, i * bs : i * bs + h] for i in range(nb)]
+    )
+    off = -jnp.einsum(
+        "bij,bjk,bkl->bil", W2, C, W1, precision=jax.lax.Precision.HIGHEST
+    )
+    top = jnp.concatenate([W1, jnp.zeros_like(W1)], axis=2)
+    bot = jnp.concatenate([off, W2], axis=2)
+    return jnp.concatenate([top, bot], axis=1)
+
+
+def _diag_inv_mode() -> str:
+    """'xla' (batched triangular-solve custom call, the measured round-1
+    path) or 'pallas' (in-VMEM strip inverses).  GPR_SOLVE_DIAGINV
+    overrides for on-chip A/B."""
+    import os
+
+    return os.environ.get("GPR_SOLVE_DIAGINV", "xla")
+
+
 def solve_narrow_usable(
     n: int, q: int, dtype, bs: int = 512, allow_interpret: bool = False
 ) -> bool:
@@ -185,22 +251,50 @@ def solve_narrow_usable(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("bs", "interpret"))
 def cho_solve_narrow(
-    L: jax.Array, B: jax.Array, *, bs: int = 512, interpret: bool = False
+    L: jax.Array,
+    B: jax.Array,
+    *,
+    bs: int = 512,
+    interpret: bool = False,
+    diag_inv: str | None = None,
 ) -> jax.Array:
     """Solve (L L^T) X = B for skinny B via the streaming substitution
     kernels.  ``L``: (n, n) lower-triangular with n % bs == 0; ``B``:
-    (n, q) with small q.  Reads only the lower triangle of L."""
+    (n, q) with small q.  Reads only the lower triangle of L.
+    ``diag_inv``: 'xla' or 'pallas' block-inverse path (None reads
+    GPR_SOLVE_DIAGINV at call time — resolved OUTSIDE the jitted impl so
+    the env var can never go stale in a compile cache)."""
+    if diag_inv is None:
+        diag_inv = _diag_inv_mode()
+    return _cho_solve_narrow_impl(
+        L, B, bs=bs, interpret=interpret, diag_inv=diag_inv
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "interpret", "diag_inv"))
+def _cho_solve_narrow_impl(
+    L: jax.Array,
+    B: jax.Array,
+    *,
+    bs: int,
+    interpret: bool,
+    diag_inv: str,
+) -> jax.Array:
     n = L.shape[0]
     if B.ndim == 1:
-        return cho_solve_narrow(L, B[:, None], bs=bs, interpret=interpret)[:, 0]
+        return _cho_solve_narrow_impl(
+            L, B[:, None], bs=bs, interpret=interpret, diag_inv=diag_inv
+        )[:, 0]
     q = B.shape[1]
     nb = n // bs
     if n % bs or L.shape != (n, n) or B.shape[0] != n:
         raise ValueError(f"cho_solve_narrow: bad shapes {L.shape} {B.shape}")
 
-    W = _diag_block_inverses(L, bs)
+    if diag_inv == "pallas":
+        W = _diag_block_inverses_pallas(L, bs, interpret=interpret)
+    else:
+        W = _diag_block_inverses(L, bs)
     # transposed block layout: (n, q) -> (q, n) -> (nb, q, bs)
     Bt = jnp.transpose(B).reshape(q, nb, bs).transpose(1, 0, 2)
     Yt = _subst_pass(L, W, Bt, forward=True, bs=bs, interpret=interpret)

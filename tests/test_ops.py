@@ -617,7 +617,7 @@ class TestPallasSolveNarrow:
     ~100-op substitution chains with 3 device ops (reference regression-
     vector solve, lib/GaussianProcess.cpp:641-672)."""
 
-    def _case(self, n, q, bs):
+    def _case(self, n, q, bs, diag_inv=None):
         from gpr_tpu.ops.pallas_solve import cho_solve_narrow
         import scipy.linalg as sla
 
@@ -628,7 +628,7 @@ class TestPallasSolveNarrow:
         B = rng.standard_normal((n, q)).astype(np.float32)
         Xs = np.asarray(
             cho_solve_narrow(jnp.asarray(Lh), jnp.asarray(B), bs=bs,
-                             interpret=True)
+                             interpret=True, diag_inv=diag_inv)
         )
         Xref = sla.cho_solve((Lh, True), B)
         rel = np.max(np.abs(Xs - Xref)) / np.max(np.abs(Xref))
@@ -643,6 +643,30 @@ class TestPallasSolveNarrow:
 
     def test_bs1024(self):
         self._case(3072, 8, 1024)
+
+    def test_pallas_diag_inv(self):
+        """In-VMEM strip inverses replace the XLA batched triangular-solve
+        custom call; end-to-end solves must match to the same tolerance,
+        including the bs=1024 block-triangular pair combine and a strict
+        upper triangle full of junk (lower-only read contract)."""
+        self._case(2048, 8, 512, diag_inv="pallas")
+        self._case(1024, 8, 256, diag_inv="pallas")
+        self._case(3072, 8, 1024, diag_inv="pallas")
+
+        from gpr_tpu.ops.pallas_solve import _diag_block_inverses_pallas
+
+        rng = np.random.default_rng(19)
+        n, bs = 1024, 256
+        X = rng.standard_normal((n, 64)).astype(np.float32)
+        A = X @ X.T / 64 + 4.0 * np.eye(n, dtype=np.float32)
+        Lh = np.linalg.cholesky(A).astype(np.float32)
+        junk = np.triu(rng.standard_normal((n, n)).astype(np.float32), 1)
+        W = np.asarray(_diag_block_inverses_pallas(
+            jnp.asarray(Lh + junk), bs, interpret=True))
+        for i in range(n // bs):
+            blk = Lh[i * bs:(i + 1) * bs, i * bs:(i + 1) * bs]
+            np.testing.assert_allclose(
+                W[i] @ blk, np.eye(bs, dtype=np.float32), atol=2e-5)
 
     def test_cho_solve_dispatch_env(self, monkeypatch):
         """GPR_SOLVE_SCHEDULE=narrow routes linalg.cho_solve through the
