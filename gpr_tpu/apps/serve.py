@@ -45,32 +45,64 @@ class Server:
         self.gp = gpr_tpu.load(gpr_prefix)
         self.in_pca = pcamod.load_pca(gpr_prefix + "-input")
         self.out_pca = pcamod.load_pca(gpr_prefix + "-output")
-        self._predict = jax.jit(lambda gp, x: (gp.predict(x), gp.credible_interval(x)))
         self._jax = jax
         self.latencies: list = []
         os.makedirs(out_dir, exist_ok=True)
 
+        # the ENTIRE per-frame path — feature projection, GP predict +
+        # credible interval, inverse-PCA reconstruction — is ONE jitted
+        # program returning ONE packed vector: one device dispatch and one
+        # host fetch per frame.  Three separate programs with three
+        # fetches cost ~3 tunnel round-trips (~25 ms each) per frame on
+        # the remote-TPU backend (BENCHMARKS.md) — pure latency on a path
+        # whose compute is sub-millisecond.
+        import jax.numpy as jnp
+
+        n_in, n_out = self.n_input_modes, self.n_output_modes
+        with_dvf = not features_only
+
+        def pipe(gp, in_pca, out_pca, col):
+            feats = in_pca.reduce(col, n_in)[:, 0]
+            mean = gp.predict(feats)
+            ci = gp.credible_interval(feats)
+            parts = [jnp.reshape(mean, (-1,)), jnp.reshape(ci, (1,))]
+            if with_dvf:
+                parts.append(
+                    out_pca.reconstruct(mean[:n_out, None], n_out)[:, 0]
+                )
+            dt = jnp.result_type(*(p.dtype for p in parts))
+            return jnp.concatenate([p.astype(dt) for p in parts])
+
+        self._pipeline = jax.jit(pipe)
+
     def warmup(self, example_frame: np.ndarray) -> None:
-        feats = self._features(example_frame)
-        self._jax.block_until_ready(self._predict(self.gp, feats))
+        col = self._frame_col(example_frame)
+        self._jax.block_until_ready(
+            self._pipeline(self.gp, self.in_pca, self.out_pca, col)
+        )
+
+    @staticmethod
+    def _frame_col(frame: np.ndarray) -> np.ndarray:
+        return frame.reshape(-1, 1).astype(np.float64) / 255.0
 
     def _features(self, frame: np.ndarray) -> np.ndarray:
-        col = (frame.reshape(-1, 1).astype(np.float64)) / 255.0
+        col = self._frame_col(frame)
         return np.asarray(self.in_pca.reduce(col, self.n_input_modes))[:, 0]
 
     def handle_frame(self, frame: np.ndarray, index: int):
         """One frame through the pipeline; returns (mean_features, ci)."""
         t0 = time.perf_counter()
-        feats = self._features(frame)
-        mean, ci = self._predict(self.gp, feats)
-        mean = np.asarray(mean)
-        ci = float(ci)
-        if not self.features_only:
-            dvf = np.asarray(
-                self.out_pca.reconstruct(
-                    mean[: self.n_output_modes, None], self.n_output_modes
-                )
-            )[:, 0]
+        col = self._frame_col(frame)
+        out = np.asarray(
+            self._pipeline(self.gp, self.in_pca, self.out_pca, col)
+        )
+        if self.features_only:
+            mean, ci = out[:-1], float(out[-1])
+        else:
+            d_out = int(self.out_pca.mean.shape[0])
+            mean = out[: out.size - 1 - d_out]
+            ci = float(out[out.size - 1 - d_out])
+            dvf = out[out.size - d_out :]
             np.save(os.path.join(self.out_dir, f"dvf{index:05d}.npy"), dvf)
         dt = time.perf_counter() - t0
         self.latencies.append(dt)
