@@ -60,6 +60,29 @@ def _da_init(eps0):
     return jnp.log(10.0 * eps0), jnp.log(eps0)
 
 
+def _tree_mean(v):
+    """Mean of a 1-D vector with an EXPLICIT pairwise reduction order.
+
+    ``jnp.mean`` leaves the reduction order to the compiler, which picks
+    different vectorizations in different programs — the sharded chunk
+    program (all_gather + mean over the global accept vector) and the
+    single-device program then disagree in the last ulp of the
+    dual-averaged step size, and one flipped Metropolis/multinomial
+    decision later the chains decorrelate (observed with the NUTS
+    transition).  An explicit balanced tree of binary adds is the same
+    HLO in both programs, so the bitwise-parity contract of the sharded
+    chunked samplers holds by construction rather than by luck.  The
+    odd-length pad adds exact zeros."""
+    n = v.shape[0]
+    m = v
+    while m.shape[0] > 1:
+        k = m.shape[0]
+        if k % 2:
+            m = jnp.concatenate([m, jnp.zeros((1,), m.dtype)])
+        m = m[0::2] + m[1::2]
+    return m[0] / n
+
+
 def _cached_program(anchor, key, build):
     """Traced/compiled chunk programs for the unrolled sampler, cached on
     the log-posterior function itself (an attribute, so the programs live
@@ -292,16 +315,18 @@ def _warmup_scan(logp_grad_fn, states, key, eps0, inv_mass, cfg, n_steps,
             lambda s, k: transition(s, k, eps, inv_mass)
         )(states, keys)
         if shard_ctx is not None:
-            # flat mean over the all-gathered GLOBAL accept vector — the
-            # identical reduction a single-device run performs, so the
-            # dual-averaged step size matches it bitwise (a hierarchical
-            # local-mean + pmean rounds differently, and one flipped
-            # Metropolis decision later decorrelates the chains)
-            mean_accept = jnp.mean(
+            # explicitly-ordered mean over the all-gathered GLOBAL accept
+            # vector — the identical reduction (same HLO adds) the
+            # single-device program performs, so the dual-averaged step
+            # size matches it bitwise (a hierarchical local-mean + pmean
+            # rounds differently, a compiler-ordered jnp.mean only matches
+            # by luck, and one flipped Metropolis decision later
+            # decorrelates the chains)
+            mean_accept = _tree_mean(
                 lax.all_gather(accept_probs, shard_ctx.axis, tiled=True)
             )
         else:
-            mean_accept = jnp.mean(accept_probs)
+            mean_accept = _tree_mean(accept_probs)
             if cross_chain_mean is not None:
                 mean_accept = cross_chain_mean(mean_accept)
         # dual averaging

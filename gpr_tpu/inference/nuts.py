@@ -314,14 +314,20 @@ def sample_nuts_chunked(
     chunk_size: int = 16,
     cross_chain_mean: Optional[Callable] = None,
     cross_chain_moments: Optional[Callable] = None,
+    shard_ctx=None,
 ) -> NUTSResult:
     """``sample_nuts`` with warmup and sampling python-unrolled in jitted
     chunks — the remote-tunnel production path (``lax.scan`` over a NUTS
     transition compiles pathologically there; see
     ``hmc.sample_hmc_chunked`` for the measured contract).  Same key flow
     as ``sample_nuts``; adapted step size / mass are traced arguments so
-    repeat calls reuse the cached chunk programs."""
-    from .hmc import _adapt_phase, _cached_program, init_chains
+    repeat calls reuse the cached chunk programs.
+
+    With ``shard_ctx`` (an ``hmc.ShardCtx``) each chunk program is
+    ``shard_map``-ped with the chain axis device-sharded, exactly like
+    ``hmc.sample_hmc_chunked`` — see
+    :func:`gpr_tpu.parallel.sample_nuts_sharded_chunked`."""
+    from .hmc import _adapt_phase, _cached_program, _split_chain_keys, init_chains
 
     z0 = jnp.atleast_2d(jnp.asarray(z0))
     n_chains, dim = z0.shape
@@ -338,7 +344,7 @@ def sample_nuts_chunked(
         logp_grad_fn, states, k1, k2, cfg, dim, z0.dtype,
         cross_chain_mean, cross_chain_moments, transition=transition,
         unroll_chunk=chunk_size, cache_anchor=logp_fn,
-        transition_key=("nuts", cfg),
+        transition_key=("nuts", cfg), shard_ctx=shard_ctx,
     )
 
     def make_chunk_fn(length: int):
@@ -351,7 +357,9 @@ def sample_nuts_chunked(
                 )
                 zs, accs = [], []
                 for t in range(length):
-                    keys = jax.random.split(keys_chunk[t], n_chains)
+                    keys = _split_chain_keys(
+                        keys_chunk[t], states.z.shape[0], shard_ctx
+                    )
                     states, a = jax.vmap(
                         lambda s, k: transition(s, k, eps, inv_mass)
                     )(states, keys)
@@ -359,10 +367,26 @@ def sample_nuts_chunked(
                     accs.append(a)
                 return states, jnp.stack(zs), jnp.stack(accs)
 
-            return run
+            if shard_ctx is None:
+                return run
+            s = shard_ctx.spec
+            state_spec = ChainState(
+                z=s("chains", None), logp=s("chains"), grad=s("chains", None)
+            )
+            return jax.shard_map(
+                run,
+                mesh=shard_ctx.mesh,
+                in_specs=(state_spec, s(), s(), s(), s()),
+                out_specs=(
+                    state_spec,
+                    s(None, "chains", None),
+                    s(None, "chains"),
+                ),
+                check_vma=False,
+            )
 
         return _cached_program(
-            logp_fn, ("nuts_sample", length, n_chains, cfg), build
+            logp_fn, ("nuts_sample", length, n_chains, cfg, shard_ctx), build
         )
 
     keys = jax.random.split(k3, cfg.num_samples)

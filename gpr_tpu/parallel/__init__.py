@@ -9,4 +9,8 @@ from .sharded_gram import (  # noqa: F401
     fit_sharded,
     sharded_gram as gram_sharded,
 )
-from .sharded_hmc import sample_hmc_sharded, sample_hmc_sharded_chunked  # noqa: F401
+from .sharded_hmc import (  # noqa: F401
+    sample_hmc_sharded,
+    sample_hmc_sharded_chunked,
+    sample_nuts_sharded_chunked,
+)

@@ -176,6 +176,41 @@ def sample_hmc_sharded_chunked(
     )
 
 
+def sample_nuts_sharded_chunked(
+    logp_fn: Callable,
+    z0,
+    key,
+    cfg=None,
+    chunk_size: int = 16,
+    mesh: Optional[Mesh] = None,
+    axis: str = "chains",
+):
+    """Chunked NUTS with the chain axis sharded over ``mesh`` — the NUTS
+    counterpart of :func:`sample_hmc_sharded_chunked` (same contract:
+    host-level chunk loop, shard_mapped chunk programs, draws bitwise
+    identical to the single-device chunked sampler)."""
+    from ..inference import nuts as nuts_mod
+
+    if cfg is None:
+        cfg = nuts_mod.NUTSConfig()
+    if mesh is None:
+        mesh = default_mesh(axis=axis)
+    n_dev = mesh.devices.size
+    z0 = jnp.atleast_2d(jnp.asarray(z0))
+    n_chains, dim = z0.shape
+    if n_chains % n_dev != 0:
+        raise ValueError(
+            f"num_chains ({n_chains}) must be divisible by mesh size ({n_dev})"
+        )
+    z0 = jax.device_put(
+        z0, jax.sharding.NamedSharding(mesh, P(axis, None))
+    )
+    ctx = hmc_mod.ShardCtx(mesh=mesh, axis=axis, n_global=n_chains)
+    return nuts_mod.sample_nuts_chunked(
+        logp_fn, z0, key, cfg, chunk_size=chunk_size, shard_ctx=ctx
+    )
+
+
 def chain_scaling_efficiency(samples_per_sec: dict) -> dict:
     """Given {n_devices: samples/s}, report scaling efficiency vs linear —
     the BASELINE.json metric (>= 80% linear 1 -> 2 hosts)."""

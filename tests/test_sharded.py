@@ -169,6 +169,34 @@ class TestShardedChunked:
         )
         assert float(res.step_size) == float(ref.step_size)
 
+    def test_nuts_matches_single_device_chunked(self):
+        """Sharded-chunked NUTS (the NUTS counterpart of the production
+        multi-chip path) must bitwise-match the single-device chunked
+        sampler under the same key flow."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from gpr_tpu.inference.nuts import NUTSConfig, sample_nuts_chunked
+        from gpr_tpu.parallel.sharded_hmc import (
+            default_mesh as chains_mesh,
+            sample_nuts_sharded_chunked,
+        )
+
+        logp = lambda z: -0.5 * jnp.sum(z * z)
+        cfg = NUTSConfig(num_warmup=30, num_samples=17, max_depth=4)
+        z0 = jax.random.normal(jax.random.PRNGKey(7), (8, 2))
+        key = jax.random.PRNGKey(8)
+        ref = sample_nuts_chunked(logp, z0, key, cfg, chunk_size=7)
+        res = sample_nuts_sharded_chunked(
+            logp, z0, key, cfg, chunk_size=7, mesh=chains_mesh(4)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.samples), np.asarray(ref.samples)
+        )
+        assert float(res.step_size) == float(ref.step_size)
+        np.testing.assert_array_equal(
+            np.asarray(res.inv_mass), np.asarray(ref.inv_mass)
+        )
+
 
 class TestDeterminism:
     def test_sharded_hmc_reproducible(self):
