@@ -108,8 +108,23 @@ def main(argv=None) -> int:
         print(f"Parse data and extract PCA features... {dt:.3f}s [done]")
         write_to_log_file(log, f"elapsed time: {dt} [PCA successfully completed]")
 
-        # one compiled program for the whole real-time loop
-        predict_fn = jax.jit(lambda g, x: (g.predict(x), g.credible_interval(x)))
+        # one compiled program for the whole real-time loop, returning ONE
+        # packed vector [mean..., ci] so each frame costs exactly one
+        # device dispatch and one host fetch (block_until_ready does not
+        # synchronize over the remote-TPU tunnel and every fetch is a
+        # ~25 ms round-trip — two fetches per frame doubles the floor)
+        import jax.numpy as jnp
+
+        def _packed(g, x):
+            mean = g.predict(x)
+            ci = g.credible_interval(x)
+            dt = jnp.result_type(mean.dtype, ci.dtype)
+            return jnp.concatenate(
+                [jnp.reshape(mean, (-1,)).astype(dt),
+                 jnp.reshape(ci, (1,)).astype(dt)]
+            )
+
+        predict_fn = jax.jit(_packed)
         # warm up the compilation outside the timed loop (skip gracefully
         # when the input folder held no frames — the loop below writes the
         # empty artifact set like the reference)
@@ -120,11 +135,10 @@ def main(argv=None) -> int:
         print("GP prediction done in (s):")
         for v in test_vectors:
             t0 = time.perf_counter()
-            mean, ci = predict_fn(gp, np.asarray(v))
-            jax.block_until_ready((mean, ci))
+            out = np.asarray(predict_fn(gp, np.asarray(v)))
             dt = time.perf_counter() - t0
-            predicted.append(np.asarray(mean))
-            confidence.append(float(ci))
+            predicted.append(out[:-1])
+            confidence.append(float(out[-1]))
             times.append(dt)
             print(dt)
         _append_csv_row(gpr_prefix + "-latestInferenceTime.txt", times)
