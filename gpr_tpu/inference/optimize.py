@@ -89,10 +89,21 @@ class OptResult:
     trace: jax.Array  # objective per iteration
 
 
-def _run_optax(objective: Callable, x0: jax.Array, optimizer, iterations: int) -> OptResult:
+def _run_optax(
+    objective: Callable,
+    x0: jax.Array,
+    optimizer,
+    iterations: int,
+    unroll_chunk: int = 0,
+) -> OptResult:
+    """Optax loop.  ``unroll_chunk > 0`` replaces the ``lax.scan`` with
+    python-unrolled jitted chunks (at most two compiled programs) — the
+    remote-tunnel production path: scanning over a step whose body holds a
+    full MLL factorization+gradient compiles pathologically there, exactly
+    like the sampler transitions (CLAUDE.md / BENCHMARKS.md; same contract
+    as ``hmc.sample_hmc_chunked``)."""
     vg = jax.value_and_grad(lambda v: -objective(v))
 
-    @jax.jit
     def step(carry, _):
         x, opt_state = carry
         loss, g = vg(x)
@@ -101,7 +112,35 @@ def _run_optax(objective: Callable, x0: jax.Array, optimizer, iterations: int) -
         x = optax.apply_updates(x, updates)
         return (x, opt_state), loss
 
-    (x, _), losses = jax.lax.scan(step, (x0, optimizer.init(x0)), None, length=iterations)
+    if unroll_chunk > 0:
+        chunk = max(1, min(unroll_chunk, iterations))
+
+        def make(length):
+            @jax.jit
+            def run(x, opt_state):
+                losses = []
+                for _ in range(length):
+                    (x, opt_state), loss = step((x, opt_state), None)
+                    losses.append(loss)
+                return x, opt_state, jnp.stack(losses)
+
+            return run
+
+        n_full, rem = divmod(iterations, chunk)
+        run_chunk = make(chunk)
+        x, st = x0, optimizer.init(x0)
+        parts = []
+        for _ in range(n_full):
+            x, st, ls = run_chunk(x, st)
+            parts.append(ls)
+        if rem:
+            x, st, ls = make(rem)(x, st)
+            parts.append(ls)
+        losses = jnp.concatenate(parts)
+    else:
+        (x, _), losses = jax.lax.scan(
+            jax.jit(step), (x0, optimizer.init(x0)), None, length=iterations
+        )
     # losses[-1] was evaluated BEFORE the final update; report the
     # objective at the RETURNED parameters so value and params correspond
     final = float(objective(x))
@@ -116,19 +155,24 @@ def fit_mle(
     iterations: int = 200,
     learning_rate: float = 0.05,
     log_space: bool = True,
+    unroll_chunk: int = 0,
 ):
-    """Maximize the log marginal likelihood; returns (kernel*, OptResult)."""
+    """Maximize the log marginal likelihood; returns (kernel*, OptResult).
+
+    ``unroll_chunk > 0`` runs the loop as python-unrolled jitted chunks —
+    use on the remote-tunnel backend where scan-over-MLL-step compiles
+    pathologically (see :func:`_run_optax`)."""
     X = jnp.asarray(X)
     Y = jnp.asarray(Y)
     vec0 = kermod.params_vector(kernel)
     opt = optax.adam(learning_rate)
     if log_space:
         obj = make_log_objective(kernel, X, Y, sigma)
-        res = _run_optax(obj, jnp.log(vec0), opt, iterations)
+        res = _run_optax(obj, jnp.log(vec0), opt, iterations, unroll_chunk)
         params = jnp.exp(res.params)
     else:
         obj = make_mll_objective(kernel, X, Y, sigma)
-        res = _run_optax(obj, vec0, opt, iterations)
+        res = _run_optax(obj, vec0, opt, iterations, unroll_chunk)
         params = res.params
     res = OptResult(params=params, value=res.value, trace=res.trace)
     return kernel.with_params(list(params)), res
@@ -144,21 +188,23 @@ def fit_map(
     iterations: int = 200,
     learning_rate: float = 0.05,
     log_space: bool = True,
+    unroll_chunk: int = 0,
 ):
     """Maximize the (weighted) log posterior; returns (kernel*, OptResult).
 
-    The MAP workflow of reference tests/MaximumAPosterioriTest.cpp:126-183."""
+    The MAP workflow of reference tests/MaximumAPosterioriTest.cpp:126-183.
+    ``unroll_chunk``: see :func:`fit_mle`."""
     X = jnp.asarray(X)
     Y = jnp.asarray(Y)
     vec0 = kermod.params_vector(kernel)
     opt = optax.adam(learning_rate)
     if log_space:
         obj = make_log_objective(kernel, X, Y, sigma, priors=priors, weight=weight)
-        res = _run_optax(obj, jnp.log(vec0), opt, iterations)
+        res = _run_optax(obj, jnp.log(vec0), opt, iterations, unroll_chunk)
         params = jnp.exp(res.params)
     else:
         obj = make_map_objective(kernel, X, Y, sigma, priors, weight)
-        res = _run_optax(obj, vec0, opt, iterations)
+        res = _run_optax(obj, vec0, opt, iterations, unroll_chunk)
         params = res.params
     res = OptResult(params=params, value=res.value, trace=res.trace)
     return kernel.with_params(list(params)), res

@@ -126,6 +126,22 @@ def test_brute_force_vs_gradient_mle(rng):
     assert err < 0.2, err  # much tighter in practice
 
 
+def test_fit_mle_unroll_chunk_matches_scan(rng):
+    """The python-unrolled chunked optax loop (remote-tunnel path, same
+    contract as the chunked samplers) reproduces the scan-based loop."""
+    X, Y = _sinus_data(12, noise=0.05, rng=rng)
+    sigma = 0.1
+    k_scan, r_scan = fit_mle(gt.Gaussian(0.7, 1.0), X, Y, sigma,
+                             iterations=25, learning_rate=0.03)
+    k_chunk, r_chunk = fit_mle(gt.Gaussian(0.7, 1.0), X, Y, sigma,
+                               iterations=25, learning_rate=0.03,
+                               unroll_chunk=7)  # exercises the remainder
+    np.testing.assert_allclose(np.asarray(r_chunk.params),
+                               np.asarray(r_scan.params), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(r_chunk.trace),
+                               np.asarray(r_scan.trace), rtol=1e-9)
+
+
 def test_gauss_newton_inference_runs(rng):
     """The reference-compatible Gauss-Newton scheme
     (GaussianProcessInference.h:84-156) improves the likelihood."""
