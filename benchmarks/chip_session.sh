@@ -52,7 +52,10 @@ EOF
     [ "$step" = solve ] && exit 0 ;;&
   fit_ab|all)
     # 6. headline fit() under the winning schedule flags (flip defaults
-    #    in code after recording; these are the A/B probes)
+    #    in code after recording; these are the A/B probes).  exp_solve
+    #    (step 5) decides GPR_SOLVE_DIAGINV=xla|pallas; re-probe the
+    #    winning combination here with the diag-inv winner too.
     GPR_SOLVE_SCHEDULE=narrow timeout 1200 python bench.py
+    GPR_SOLVE_SCHEDULE=narrow GPR_SOLVE_DIAGINV=pallas timeout 1200 python bench.py
     GPR_CHOL_SCHEDULE=inplace GPR_SOLVE_SCHEDULE=narrow timeout 1200 python bench.py ;;
 esac

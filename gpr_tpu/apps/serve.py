@@ -85,10 +85,6 @@ class Server:
     def _frame_col(frame: np.ndarray) -> np.ndarray:
         return frame.reshape(-1, 1).astype(np.float64) / 255.0
 
-    def _features(self, frame: np.ndarray) -> np.ndarray:
-        col = self._frame_col(frame)
-        return np.asarray(self.in_pca.reduce(col, self.n_input_modes))[:, 0]
-
     def handle_frame(self, frame: np.ndarray, index: int):
         """One frame through the pipeline; returns (mean_features, ci)."""
         t0 = time.perf_counter()

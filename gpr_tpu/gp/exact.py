@@ -499,11 +499,13 @@ def extend(gp: GP, Xn, Yn, jitter: float = 0.0) -> GP:
 
 def _cholupdate(L: jax.Array, v: jax.Array) -> jax.Array:
     """chol(L L^T + v v^T) by the classic sequential column sweep
-    (Golub & Van Loan 6.5.4), expressed as a ``fori_loop`` with full-column
-    masked ops so every iteration has static shapes."""
+    (Golub & Van Loan 6.5.4), expressed as a ``fori_loop`` with
+    static-shape column ops.  Each iteration touches exactly one column —
+    O(n) reads and writes via dynamic slices — keeping the whole update
+    O(n^2) (a full-matrix masked write per column would silently make it
+    O(n^3), slower than re-factorizing)."""
     n = L.shape[0]
-    rows = jnp.arange(n)[:, None]
-    cols = jnp.arange(n)[None, :]
+    rows = jnp.arange(n)
 
     def body(j, carry):
         L, v = carry
@@ -513,10 +515,10 @@ def _cholupdate(L: jax.Array, v: jax.Array) -> jax.Array:
         c = r / d
         s = vj / d
         colj = jax.lax.dynamic_slice(L, (0, j), (n, 1))[:, 0]
-        below = rows[:, 0] > j
+        below = rows > j
         new_col = jnp.where(below, (colj + s * v) / c, colj)
-        new_col = jnp.where(rows[:, 0] == j, r, new_col)
-        L = jnp.where(cols == j, new_col[:, None], L)
+        new_col = jnp.where(rows == j, r, new_col)
+        L = jax.lax.dynamic_update_slice(L, new_col[:, None], (0, j))
         v = jnp.where(below, c * v - s * new_col, v)
         return L, v
 

@@ -349,15 +349,14 @@ def _warmup_scan(logp_grad_fn, states, key, eps0, inv_mass, cfg, n_steps,
             # mu / inv_mass enter as traced arguments, NOT closure
             # constants: every warmup stage then lowers to the same HLO,
             # so in-process and persistent compile caches hit across
-            # stages and invocations.  The chunk's keys are sliced from the
-            # FULL key array inside the program (traced offset) — an eager
-            # host-side slice per chunk is one extra round-trip each on the
-            # remote-tunnel backend.
+            # stages and invocations.  The keys argument is the HOST-SLICED
+            # (length, 2) chunk — passing the full key array with a traced
+            # offset would key the trace on the TOTAL stage length and
+            # force a fresh compile per distinct stage/invocation length
+            # (tens of seconds each over the remote tunnel, versus the
+            # microsecond async dispatch of an eager slice).
             def build():
-                def run(carry, keys_all, off, mu, inv_mass):
-                    keys_chunk = lax.dynamic_slice_in_dim(
-                        keys_all, off, length, axis=0
-                    )
+                def run(carry, keys_chunk, mu, inv_mass):
                     zs, accs = [], []
                     for t in range(length):
                         carry, (z, a) = step_fn(
@@ -383,7 +382,7 @@ def _warmup_scan(logp_grad_fn, states, key, eps0, inv_mass, cfg, n_steps,
                 return jax.shard_map(
                     run,
                     mesh=shard_ctx.mesh,
-                    in_specs=(carry_spec, s(), s(), s(), s()),
+                    in_specs=(carry_spec, s(), s(), s()),
                     out_specs=(carry_spec, s(None, "chains", None), s()),
                     check_vma=False,
                 )
@@ -411,13 +410,13 @@ def _warmup_scan(logp_grad_fn, states, key, eps0, inv_mass, cfg, n_steps,
         carry, zs_parts, acc_parts = init, [], []
         for c in range(n_full):
             carry, zs_c, acc_c = chunk_fn(
-                carry, keys, c * chunk, mu, inv_mass
+                carry, keys[c * chunk : (c + 1) * chunk], mu, inv_mass
             )
             zs_parts.append(zs_c)
             acc_parts.append(acc_c)
         if rem:
             carry, zs_c, acc_c = make_chunk_fn(rem)(
-                carry, keys, n_full * chunk, mu, inv_mass
+                carry, keys[-rem:], mu, inv_mass
             )
             zs_parts.append(zs_c)
             acc_parts.append(acc_c)
@@ -641,10 +640,7 @@ def sample_hmc_chunked(
         # adapted values into the program and force a fresh compile per
         # run — prohibitive over the remote-tunnel backend).
         def build():
-            def run(states, keys_all, off, eps, inv_mass):
-                keys_chunk = lax.dynamic_slice_in_dim(
-                    keys_all, off, length, axis=0
-                )
+            def run(states, keys_chunk, eps, inv_mass):
                 zs, accs = [], []
                 for t in range(length):
                     states, a = jax.vmap(
@@ -670,7 +666,7 @@ def sample_hmc_chunked(
             return jax.shard_map(
                 run,
                 mesh=shard_ctx.mesh,
-                in_specs=(state_spec, s(), s(), s(), s()),
+                in_specs=(state_spec, s(), s(), s()),
                 out_specs=(
                     state_spec,
                     s(None, "chains", None),
@@ -689,13 +685,13 @@ def sample_hmc_chunked(
     zs_parts, acc_parts = [], []
     for c in range(n_full):
         states, zs_c, acc_c = chunk_fn(
-            states, keys, c * chunk_size, eps2, inv_mass
+            states, keys[c * chunk_size : (c + 1) * chunk_size], eps2, inv_mass
         )
         zs_parts.append(zs_c)
         acc_parts.append(acc_c)
     if rem:
         states, zs_c, acc_c = make_chunk_fn(rem)(
-            states, keys, n_full * chunk_size, eps2, inv_mass
+            states, keys[-rem:], eps2, inv_mass
         )
         zs_parts.append(zs_c)
         acc_parts.append(acc_c)

@@ -349,12 +349,7 @@ def sample_nuts_chunked(
 
     def make_chunk_fn(length: int):
         def build():
-            def run(states, keys_all, off, eps, inv_mass):
-                # in-program key slice: one host-level dispatch per chunk
-                # (see hmc.sample_hmc_chunked)
-                keys_chunk = lax.dynamic_slice_in_dim(
-                    keys_all, off, length, axis=0
-                )
+            def run(states, keys_chunk, eps, inv_mass):
                 zs, accs = [], []
                 for t in range(length):
                     keys = _split_chain_keys(
@@ -376,7 +371,7 @@ def sample_nuts_chunked(
             return jax.shard_map(
                 run,
                 mesh=shard_ctx.mesh,
-                in_specs=(state_spec, s(), s(), s(), s()),
+                in_specs=(state_spec, s(), s(), s()),
                 out_specs=(
                     state_spec,
                     s(None, "chains", None),
@@ -395,13 +390,13 @@ def sample_nuts_chunked(
     zs_parts, acc_parts = [], []
     for c in range(n_full):
         states, zs_c, acc_c = chunk_fn(
-            states, keys, c * chunk_size, eps2, inv_mass
+            states, keys[c * chunk_size : (c + 1) * chunk_size], eps2, inv_mass
         )
         zs_parts.append(zs_c)
         acc_parts.append(acc_c)
     if rem:
         states, zs_c, acc_c = make_chunk_fn(rem)(
-            states, keys, n_full * chunk_size, eps2, inv_mass
+            states, keys[-rem:], eps2, inv_mass
         )
         zs_parts.append(zs_c)
         acc_parts.append(acc_c)

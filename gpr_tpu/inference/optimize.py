@@ -136,7 +136,10 @@ def _run_optax(
         if rem:
             x, st, ls = make(rem)(x, st)
             parts.append(ls)
-        losses = jnp.concatenate(parts)
+        # iterations=0 runs no chunks; match the scan path's empty trace
+        losses = (
+            jnp.concatenate(parts) if parts else jnp.zeros((0,), x0.dtype)
+        )
     else:
         (x, _), losses = jax.lax.scan(
             jax.jit(step), (x0, optimizer.init(x0)), None, length=iterations

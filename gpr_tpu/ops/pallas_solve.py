@@ -263,13 +263,58 @@ def cho_solve_narrow(
     kernels.  ``L``: (n, n) lower-triangular with n % bs == 0; ``B``:
     (n, q) with small q.  Reads only the lower triangle of L.
     ``diag_inv``: 'xla' or 'pallas' block-inverse path (None reads
-    GPR_SOLVE_DIAGINV at call time — resolved OUTSIDE the jitted impl so
-    the env var can never go stale in a compile cache)."""
+    GPR_SOLVE_DIAGINV when this function is called/traced — an enclosing
+    jitted program still bakes the value read at ITS trace time, like any
+    env-resolved dispatch flag).
+
+    Differentiable: ``pallas_call`` has no autodiff rule, so the function
+    carries a ``custom_vjp`` — the pullback is one more narrow solve
+    ``W = (L L^T)^{-1} X̄`` plus two O(n² q) GEMMs,
+    ``L̄ = -tril(W (X^T L) + X (W^T L))``, ``B̄ = W`` — keeping the narrow
+    schedule safe under ``jax.grad`` (MLL gradients, HMC log-posteriors)."""
     if diag_inv is None:
         diag_inv = _diag_inv_mode()
+    if B.ndim == 1:
+        return _cho_solve_narrow_diff(
+            L, B[:, None], bs, interpret, diag_inv
+        )[:, 0]
+    return _cho_solve_narrow_diff(L, B, bs, interpret, diag_inv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _cho_solve_narrow_diff(L, B, bs, interpret, diag_inv):
     return _cho_solve_narrow_impl(
         L, B, bs=bs, interpret=interpret, diag_inv=diag_inv
     )
+
+
+def _cho_solve_narrow_fwd(L, B, bs, interpret, diag_inv):
+    X = _cho_solve_narrow_impl(
+        L, B, bs=bs, interpret=interpret, diag_inv=diag_inv
+    )
+    return X, (L, X)
+
+
+def _cho_solve_narrow_bwd(bs, interpret, diag_inv, res, X_bar):
+    from ..utils.config import matmul_precision
+
+    L, X = res
+    prec = matmul_precision()
+    W = _cho_solve_narrow_impl(
+        L, X_bar, bs=bs, interpret=interpret, diag_inv=diag_inv
+    )
+    # X = (L L^T)^{-1} B: A_bar = -W X^T, L_bar = (A_bar + A_bar^T) L,
+    # contracted in O(n^2 q) as W (X^T L) + X (W^T L); only tril(L) is
+    # read so the cotangent lives in the lower triangle
+    M1 = jnp.matmul(X.T, L, precision=prec)  # (q, n)
+    M2 = jnp.matmul(W.T, L, precision=prec)  # (q, n)
+    L_bar = -jnp.tril(
+        jnp.matmul(W, M1, precision=prec) + jnp.matmul(X, M2, precision=prec)
+    )
+    return L_bar, W
+
+
+_cho_solve_narrow_diff.defvjp(_cho_solve_narrow_fwd, _cho_solve_narrow_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("bs", "interpret", "diag_inv"))

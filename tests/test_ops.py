@@ -691,6 +691,64 @@ class TestPallasSolveNarrow:
             gw, sla.cho_solve((Lh, True), Bw), atol=1e-4
         )
 
+    def test_gradient_matches_dense_solve(self):
+        """The custom VJP (pallas_call has no autodiff rule) must match the
+        dense cho_solve gradient for both operands — the narrow schedule
+        sits on every differentiated path (MLL grads, HMC log-posteriors)
+        once GPR_SOLVE_SCHEDULE=narrow."""
+        from gpr_tpu.ops.pallas_solve import cho_solve_narrow
+
+        rng = np.random.default_rng(21)
+        n, q = 1024, 4
+        X = rng.standard_normal((n, 64)).astype(np.float32)
+        A = X @ X.T / 64 + 4.0 * np.eye(n, dtype=np.float32)
+        Lh = jnp.asarray(np.linalg.cholesky(A).astype(np.float32))
+        B = jnp.asarray(rng.standard_normal((n, q)).astype(np.float32))
+        Wt = jnp.asarray(rng.standard_normal((n, q)).astype(np.float32))
+
+        def dense(L, B):
+            y = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+            return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+        f_n = lambda L, B: jnp.sum(
+            cho_solve_narrow(L, B, interpret=True) * Wt
+        )
+        f_d = lambda L, B: jnp.sum(dense(L, B) * Wt)
+        gLn, gBn = jax.grad(f_n, argnums=(0, 1))(Lh, B)
+        gLd, gBd = jax.grad(f_d, argnums=(0, 1))(Lh, B)
+        # the dense rule leaves junk cotangent above the diagonal that the
+        # primal never reads; compare the meaningful (lower) triangle
+        scale = float(jnp.abs(gLd).max())
+        np.testing.assert_allclose(
+            np.tril(np.asarray(gLn)), np.tril(np.asarray(gLd)),
+            atol=2e-5 * scale,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gBn), np.asarray(gBd),
+            atol=2e-5 * float(jnp.abs(gBd).max()),
+        )
+
+    def test_narrow_schedule_differentiable_mll(self, monkeypatch):
+        """GPR_SOLVE_SCHEDULE=narrow must not break jax.grad of the MLL
+        (the fit_mle / HMC production paths)."""
+        import gpr_tpu as gt
+        from gpr_tpu.gp import likelihood as lk
+
+        monkeypatch.setenv("GPR_SOLVE_SCHEDULE", "narrow")
+        rng = np.random.default_rng(22)
+        X = jnp.asarray(rng.standard_normal((1024, 3)), jnp.float32)
+        Y = jnp.asarray(np.sin(np.asarray(X).sum(1, keepdims=True)), jnp.float32)
+        k = gt.Gaussian(jnp.asarray(1.5, jnp.float32), jnp.asarray(1.0, jnp.float32))
+
+        def obj(s):
+            return lk.mll_scalar(gt.Gaussian(s, jnp.asarray(1.0, jnp.float32)), X, Y, 0.1)
+
+        g = jax.grad(obj)(jnp.asarray(1.5, jnp.float32))
+        assert np.isfinite(float(g))
+        monkeypatch.setenv("GPR_SOLVE_SCHEDULE", "blocked")
+        gb = jax.grad(obj)(jnp.asarray(1.5, jnp.float32))
+        np.testing.assert_allclose(float(g), float(gb), rtol=5e-3)
+
     def test_vector_rhs(self):
         from gpr_tpu.ops.pallas_solve import cho_solve_narrow
         import scipy.linalg as sla
