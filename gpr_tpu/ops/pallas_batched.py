@@ -67,13 +67,17 @@ def _crout_sweep(S0, g: int, b: int):
 
     def step(j, carry):
         S, L, W = carry
-        piv = lax.dynamic_slice(S, (0, j, j), (g, 1, 1))  # (g,1,1)
+        # Mosaic TC has no dynamic_slice on traced values — extract the
+        # pivot column / L row via masked full-tile reductions instead
+        # (same cost class as the rank-1 update below).
+        colmask = cols == j  # (1,1,b)
+        colr = jnp.sum(jnp.where(colmask, S, 0.0), axis=2, keepdims=True)  # (g,b,1)
+        piv = jnp.sum(jnp.where(rows == j, colr, 0.0), axis=1, keepdims=True)
         rd = lax.rsqrt(jnp.maximum(piv, 0.0))
-        colj = lax.dynamic_slice(S, (0, 0, j), (g, b, 1)) * rd  # (g,b,1)
         below = rows >= j  # includes the pivot row
-        colj = jnp.where(below, colj, 0.0)
+        colj = jnp.where(below, colr * rd, 0.0)
         # write column j of L (lane select keeps shapes static)
-        L = jnp.where(cols == j, colj, L)
+        L = jnp.where(colmask, colj, L)
         # trailing rank-1 update: strictly-below entries only, so rows/cols
         # <= j are untouched and the next pivot reads updated data
         colu = jnp.where(rows > j, colj, 0.0)
@@ -84,7 +88,7 @@ def _crout_sweep(S0, g: int, b: int):
         # L's row j currently holds exactly its final values for cols <= j
         # (later columns are zero), and W holds rows < j — one masked
         # matvec per step, full-tile static.
-        lrow = lax.dynamic_slice(L, (0, j, 0), (g, 1, b))  # (g,1,b)
+        lrow = jnp.sum(jnp.where(rows == j, L, 0.0), axis=1, keepdims=True)  # (g,1,b)
         lrow = jnp.where(cols < j, lrow, 0.0)
         # matvec as broadcast-multiply + row reduction: VPU work, and it
         # sidesteps batched dot_general lowering inside the kernel
@@ -338,9 +342,10 @@ def _fleet_kernel(a_ref, y_ref, l_ref, x_ref, *, n: int, p: int, q: int):
     # assemble L in one write: build full columns then concatenate
     colblocks = []
     for k in range(nb):
-        top = jnp.zeros((k * p, p), dtype)
         body = Ls[k] if Ps[k] is None else jnp.concatenate([Ls[k], Ps[k]], 0)
-        colblocks.append(jnp.concatenate([top, body], 0))
+        if k > 0:  # Mosaic rejects zero-sized vectors: no (0, p) pads
+            body = jnp.concatenate([jnp.zeros((k * p, p), dtype), body], 0)
+        colblocks.append(body)
     l_ref[0] = jnp.concatenate(colblocks, axis=1)
 
     def lblk(i, j):  # L[i, j] block for i > j, from column j's panel
