@@ -140,7 +140,11 @@ def main():
         )
         peak_tflops = PEAK_FALLBACK_TFLOPS if on_accel else 1e12
     else:
-        t_mm = _time_scalar_fn(make_mm, A, B, repeats=6)
+        # the m=4096 matmul is ~2 ms; at repeats=6 the slope is dominated
+        # by ~25 ms tunnel round-trip noise (measured peaks swung 62-80
+        # TF/s run-to-run).  A 24-deep chain (~48 ms of compute) with
+        # best-of-5 brings the swing under ~5%.
+        t_mm = _time_scalar_fn(make_mm, A, B, repeats=24, iters=5)
         peak_tflops = 2.0 * m**3 / t_mm / 1e12
 
     utilization = tflops / peak_tflops

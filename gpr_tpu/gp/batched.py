@@ -45,8 +45,10 @@ def _kernel_in_axes(kernel, batched: bool):
 def _factor_and_solve(K, Y, use_crout: bool | None):
     """Fleet factorization + regression solve: (B, n, n), (B, n, q) ->
     (L, alpha).  ``use_crout=None`` auto-dispatches to the pallas fleet
-    factorizer on TPU (fused single-kernel under the VMEM bound,
-    panel-stepped above it); False pins XLA's batched potrf."""
+    factorizer on TPU (panel-stepped Crout sweep — measured fastest on
+    v5e; the fused single-kernel path is opt-in via GPR_FLEET_FUSED_MAX_N,
+    it loses by serializing each matrix on one core); False pins XLA's
+    batched potrf."""
     from ..ops import pallas_batched
 
     n = K.shape[1]

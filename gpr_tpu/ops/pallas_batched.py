@@ -119,9 +119,11 @@ def crout_chol_wi(
     if b != b2:
         raise ValueError(f"crout_chol_wi: square tiles required, got {A.shape}")
     if g <= 0:
-        # 3 resident (g, b, b) f32 carries + in/out blocks + loop temps;
-        # ~2 MB per carry keeps the peak well under the ~16 MB VMEM
-        g = max(1, min(B, (2 * 1024 * 1024) // (b * b * 4)))
+        # 3 resident (g, b, b) f32 carries + in/out blocks + loop temps
+        # (the masked-reduction column/row extracts add full-tile temps);
+        # ~1 MB per carry keeps the measured scoped peak under the 16 MB
+        # VMEM limit (2 MB measured 17.27M scoped at b=128 on v5e)
+        g = max(1, min(B, (1024 * 1024) // (b * b * 4)))
         while B % g:
             g -= 1
     if B % g:
@@ -380,9 +382,13 @@ def _fleet_kernel(a_ref, y_ref, l_ref, x_ref, *, n: int, p: int, q: int):
 
 
 # whole-matrix state must fit VMEM: ~4 resident (n, n) f32 values.
-# GPR_FLEET_FUSED_MAX_N overrides (0 disables the fused path — benchmarking)
+# GPR_FLEET_FUSED_MAX_N overrides; DEFAULT 0 = fused path off.  Measured
+# on v5e (B=128): fused loses to the panel-stepped sweep at every size
+# (n=256: 7.3k vs 18.5k fits/s; n=512: 3.6k vs 8.2k) — one grid step per
+# matrix serializes the whole factorization on one core, while the
+# stepped path batches the MXU GEMMs across the fleet.
 _FLEET_FUSED_MAX_N = int(__import__("os").environ.get(
-    "GPR_FLEET_FUSED_MAX_N", 768
+    "GPR_FLEET_FUSED_MAX_N", 0
 ))
 
 
