@@ -31,7 +31,13 @@ def _default_leaf() -> int:
     """Precision-dependent recursion leaf (measured v5e, n=8192):
     at the fast 'default' tier small leaves win (256: 6.2 ms vs 1024:
     7.2 ms); at the f32-grade 'high' tier the slower GEMMs shift the
-    balance to bigger leaves (1024: 6.7 ms vs 256: 8.8 ms)."""
+    balance to bigger leaves (1024: 6.7 ms vs 256: 8.8 ms).
+    GPR_CHOL_LEAF overrides for on-chip A/B."""
+    import os
+
+    env = os.environ.get("GPR_CHOL_LEAF")
+    if env:
+        return int(env)
     return 256 if matmul_precision() == "default" else 1024
 
 
@@ -125,14 +131,53 @@ def _solve_rt(L, B, leaf, i0, invs):
     return jnp.concatenate([X1, X2], axis=1)
 
 
+def _walk_blocks(b, i0, j0, out):
+    """Flatten a block tree into (row, col, block) triples (lower only)."""
+    if not isinstance(b, tuple):
+        out.append((i0, j0, b))
+        return b.shape[0]
+    b11, L21, b22 = b
+    m = _walk_blocks(b11, i0, j0, out)
+    out.append((i0 + m, j0, L21))
+    s = _walk_blocks(b22, i0 + m, j0 + m, out)
+    return m + s
+
+
+def assemble_blocks_dus(b) -> jax.Array:
+    """Assemble a block tree by writing each lower block into one zero
+    buffer with static-offset in-place DUS.  Trace-measured at n=16k on
+    v5e, the concat form materializes 134 MB pred masks + full-width
+    selects (~1.4 ms); this form writes each block exactly once into a
+    memset buffer."""
+    if not isinstance(b, tuple):
+        return b
+    blocks: list = []
+    n = _walk_blocks(b, 0, 0, blocks)
+    out = jnp.zeros((n, n), blocks[0][2].dtype)
+    for i0, j0, blk in blocks:
+        out = jax.lax.dynamic_update_slice(out, blk, (i0, j0))
+    return out
+
+
 def assemble_blocks(b) -> jax.Array:
-    """Concatenate a block tree from :func:`cholesky_blocked_blocks` into
-    the full lower-triangular factor.  Leaf = the factor array itself;
-    node = ``(blocks11, L21, blocks22)``."""
+    """Assemble a block tree from :func:`cholesky_blocked_blocks` into the
+    full lower-triangular factor.  Leaf = the factor array itself; node =
+    ``(blocks11, L21, blocks22)``.  GPR_CHOL_ASSEMBLE picks the form
+    ('concat' default, 'dus') for on-chip A/B."""
+    import os
+
+    if os.environ.get("GPR_CHOL_ASSEMBLE", "concat") == "dus":
+        return assemble_blocks_dus(b)
+    return assemble_blocks_concat(b)
+
+
+def assemble_blocks_concat(b) -> jax.Array:
+    """The original concat-tree assembly (kept for A/B; see
+    :func:`assemble_blocks`)."""
     if not isinstance(b, tuple):
         return b
     b11, L21, b22 = b
-    L11, L22 = assemble_blocks(b11), assemble_blocks(b22)
+    L11, L22 = assemble_blocks_concat(b11), assemble_blocks_concat(b22)
     m = L11.shape[0]
     n = m + L22.shape[0]
     top = jnp.concatenate([L11, jnp.zeros((m, n - m), L11.dtype)], axis=1)
@@ -210,9 +255,9 @@ def cholesky_blocked_blocks(
     if leaf <= 0:
         leaf = _default_leaf()
     if leaf_inverse is None:
-        leaf_inverse = False  # measured off — see cholesky_blocked
+        leaf_inverse = _leaf_inverse_default()
     if right_solve is None:
-        right_solve = _RIGHT_SOLVE_DEFAULT
+        right_solve = _right_solve_default()
     invs = {} if leaf_inverse else None
     return _chol_rec(A, leaf, gemm_dtype, 0, invs, right_solve)
 
@@ -221,8 +266,24 @@ def cholesky_blocked_blocks(
 # solve(L11, A21.T).T pays a physical {1,0}->{0,1} layout copy of the A21
 # slice per level (~1.05 ms/level at n=16k, trace-measured); the
 # right-side lax triangular_solve consumes A21 in its native layout.
-# Default set by on-chip measurement (benchmarks/exp_safechol_overhead.py).
+# Default set by on-chip measurement (benchmarks/exp_safechol_overhead.py);
+# GPR_CHOL_RIGHT_SOLVE=1/0 and GPR_CHOL_LEAF_INV=1/0 override for A/B.
 _RIGHT_SOLVE_DEFAULT = False
+_LEAF_INVERSE_DEFAULT = False
+
+
+def _right_solve_default() -> bool:
+    import os
+
+    env = os.environ.get("GPR_CHOL_RIGHT_SOLVE")
+    return _RIGHT_SOLVE_DEFAULT if env is None else env not in ("0", "")
+
+
+def _leaf_inverse_default() -> bool:
+    import os
+
+    env = os.environ.get("GPR_CHOL_LEAF_INV")
+    return _LEAF_INVERSE_DEFAULT if env is None else env not in ("0", "")
 
 
 def cholesky_blocked(
@@ -258,16 +319,17 @@ def cholesky_blocked(
     if leaf <= 0:
         leaf = _default_leaf()
     if leaf_inverse is None:
-        # MEASURED OFF (v5e, n=16k): solve-as-GEMM leaf solves save
-        # ~2.3 ms of XLA triangular-solve machinery, but producing the
-        # inverses costs more — tri_inv_leaf 194 us x 16 leaves (net
-        # -0.8 ms) and the fused factor+inverse leaf 574 us vs XLA's
-        # 275 us leaf cholesky (net -5.9 ms).  The in-VMEM strip
-        # factorization's sequential latency dominates at 1024.  Kept as
-        # a validated building block; see BENCHMARKS.md round 2.
-        leaf_inverse = False
+        # MEASURED OFF at leaf=1024 (v5e, n=16k): solve-as-GEMM leaf solves
+        # save ~2.3 ms of XLA triangular-solve machinery, but producing the
+        # inverses costs more — the fused factor+inverse leaf is 574 us vs
+        # XLA's 275 us leaf cholesky (the in-VMEM strip factorization's
+        # sequential latency dominates at 1024).  At SMALL leaves the
+        # balance flips (the strip leaf beats XLA 7 vs 13 us at 256) —
+        # round-3 A/B via GPR_CHOL_LEAF + GPR_CHOL_LEAF_INV
+        # (benchmarks/exp_chol_r3.py); see BENCHMARKS.md.
+        leaf_inverse = _leaf_inverse_default()
     if right_solve is None:
-        right_solve = _RIGHT_SOLVE_DEFAULT
+        right_solve = _right_solve_default()
     invs = {} if leaf_inverse else None
     return assemble_blocks(_chol_rec(A, leaf, gemm_dtype, 0, invs, right_solve))
 

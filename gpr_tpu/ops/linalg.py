@@ -199,10 +199,17 @@ def _safe_cholesky_impl(A, initial_jitter, max_tries):
 
     def body(state):
         ok, tries, j, L = state
-        # escalation-only O(n) work (the diagonal gather) lives in the
-        # body, so the success path never pays it
+        # jitter scale from a HEAD SLICE of the diagonal: the full-diagonal
+        # gather is loop-invariant, so XLA hoists it out of the retry loop
+        # and the SUCCESS path pays it too (~0.24 ms strided gather over the
+        # 1 GB matrix at n=16k, trace-measured).  The mean over the first
+        # <=1024 diagonal entries is an equally good scale heuristic (the
+        # reference uses a *fixed* jitter, SparseGaussianProcess.h:174-180)
+        # and its hoisted cost is microseconds.
+        h = min(A.shape[-1], 1024)
         diag_mean = jnp.mean(
-            jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)), axis=-1
+            jnp.abs(jnp.diagonal(A[..., :h, :h], axis1=-2, axis2=-1)),
+            axis=-1,
         )
         base = jnp.broadcast_to(
             jnp.where(
