@@ -70,10 +70,17 @@ def _factor_and_solve(K, Y, use_crout: bool | None):
             return pallas_batched.factor_solve_fused(
                 K, Y, panel=panel, interpret=interp
             )
+        import os
+
+        panel = int(os.environ.get("GPR_FLEET_PANEL", 64))
+        while n % panel and panel > 16:
+            panel //= 2
         L, W = pallas_batched.cholesky_batched(
-            K, interpret=interp, return_winv=True
+            K, panel=panel, interpret=interp, return_winv=True
         )
-        alpha = pallas_batched.cho_solve_batched(L, Y, interpret=interp, winv=W)
+        alpha = pallas_batched.cho_solve_batched(
+            L, Y, panel=panel, interpret=interp, winv=W
+        )
         return L, alpha
     L = jnp.linalg.cholesky(K)
     alpha = jax.vmap(lambda l, y: jax.scipy.linalg.cho_solve((l, True), y))(L, Y)

@@ -86,13 +86,25 @@ def solve_triangular_blocked(
 _SYRK_BLOCK = 512
 
 
+def _syrk_tiles():
+    """(bm, bk) for the pallas syrk — GPR_SYRK_BM / GPR_SYRK_BK override
+    the 512x512 default for on-chip tile-shape A/B."""
+    import os
+
+    return (
+        int(os.environ.get("GPR_SYRK_BM", _SYRK_BLOCK)),
+        int(os.environ.get("GPR_SYRK_BK", _SYRK_BLOCK)),
+    )
+
+
 def _syrk_usable(m2: int, m: int, dtype) -> bool:
     """The Pallas lower-triangle syrk applies when the trailing-update
-    shapes are 512-tile aligned, f32, and a real TPU is the backend."""
+    shapes are tile-aligned, f32, and a real TPU is the backend."""
+    bm, bk = _syrk_tiles()
     return (
         dtype == jnp.float32
-        and m2 % _SYRK_BLOCK == 0
-        and m % _SYRK_BLOCK == 0
+        and m2 % bm == 0
+        and m % bk == 0
         and jax.default_backend() == "tpu"
     )
 
@@ -218,13 +230,20 @@ def _chol_rec(A, leaf, gemm_dtype, i0, invs, rt):
     if invs is not None or rt:
         # right-side solve: no physical transpose of A21 or the result
         L21 = _solve_rt(L11, A21, leaf, i0, invs)
+    elif _flat_solve():
+        # ONE XLA triangular-solve custom call per level (its internal
+        # InvertDiagBlocks blocking) instead of the trace-time recursion
+        L21 = jax.lax.linalg.triangular_solve(
+            L11, A21.T, left_side=True, lower=True
+        ).T
     else:
         # L21 = A21 L11^-T  ==  (L11^-1 A21^T)^T
         L21 = solve_triangular_blocked(L11, A21.T, lower=True, leaf=leaf).T
     if gemm_dtype is None and _syrk_usable(n - m, m, A.dtype):
         from .pallas_syrk import syrk_update
 
-        S22 = syrk_update(A22, L21)  # valid in the lower triangle only
+        bm, bk = _syrk_tiles()
+        S22 = syrk_update(A22, L21, bm=bm, bk=bk)  # lower triangle only
     else:
         if gemm_dtype is not None:
             upd = jnp.matmul(
@@ -277,6 +296,14 @@ def _right_solve_default() -> bool:
 
     env = os.environ.get("GPR_CHOL_RIGHT_SOLVE")
     return _RIGHT_SOLVE_DEFAULT if env is None else env not in ("0", "")
+
+
+def _flat_solve() -> bool:
+    """GPR_CHOL_FLAT_SOLVE=1: panel solves as single XLA triangular-solve
+    custom calls (XLA's internal blocking) instead of the recursion."""
+    import os
+
+    return os.environ.get("GPR_CHOL_FLAT_SOLVE", "0") not in ("0", "")
 
 
 def _leaf_inverse_default() -> bool:

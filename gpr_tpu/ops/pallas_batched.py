@@ -161,6 +161,39 @@ def batched_usable(n: int, dtype, panel: int = 128) -> bool:
     )
 
 
+def _diag_impl() -> str:
+    """Diagonal-block factor+inverse implementation for the fleet sweep:
+    'crout' (the pallas masked rank-1 sweep) or 'xla' (batched potrf +
+    batched triangular-solve-vs-I custom calls).  Trace anatomy (round 3,
+    BENCHMARKS.md) showed the crout sweep IS the fleet fit: 4 calls of
+    3.46 ms each = 13.8 of the 16.4 ms batch — the masked full-tile
+    formulation costs ~10 full-tile VPU passes per column.  XLA's batched
+    128-block custom calls do the same work in one pass each.
+    GPR_FLEET_DIAG overrides for A/B."""
+    import os
+
+    return os.environ.get("GPR_FLEET_DIAG", _FLEET_DIAG_DEFAULT)
+
+
+_FLEET_DIAG_DEFAULT = "xla"  # round-3 on-chip A/B (benchmarks/exp_fleet_r3.py):
+# at B=128 n=512, xla-diag p64 9.8 ms vs crout p128 14.9 ms (13038 vs 8599 fits/s)
+
+
+def diag_factor_inverse(D: jax.Array, *, interpret: bool = False):
+    """(L, W=L^{-1}) for a batch of SPD diagonal blocks (B, b, b),
+    dispatching per :func:`_diag_impl`."""
+    if _diag_impl() == "crout":
+        return crout_chol_wi(D, interpret=interpret)
+    L = jax.lax.linalg.cholesky(D, symmetrize_input=False)
+    eye = jnp.broadcast_to(
+        jnp.eye(D.shape[-1], dtype=D.dtype), D.shape
+    )
+    W = jax.lax.linalg.triangular_solve(
+        L, eye, left_side=True, lower=True
+    )
+    return L, W
+
+
 def cholesky_batched(
     A: jax.Array, *, panel: int = 128, interpret: bool = False,
     return_winv: bool = False,
@@ -187,7 +220,7 @@ def cholesky_batched(
     winvs = []
     for k in range(nb):
         D = S[:, :panel, :panel]
-        Lkk, Wkk = crout_chol_wi(D, interpret=interpret)
+        Lkk, Wkk = diag_factor_inverse(D, interpret=interpret)
         winvs.append(Wkk)
         if n - (k + 1) * panel > 0:
             Apk = S[:, panel:, :panel]  # (B, m, panel)
@@ -235,17 +268,27 @@ def cho_solve_batched(
             [L[:, i * panel : (i + 1) * panel, i * panel : (i + 1) * panel]
              for i in range(nb)], axis=1,
         )  # (B, nb, p, p)
-        # chol(D D^T) == D for lower-triangular D with positive diagonal, so
-        # one batched GEMM + the fused factor+inverse sweep yields W = inv(D)
-        # for every diagonal block without a triangular-solve custom call
-        _, W = crout_chol_wi(
-            jax.lax.dot_general(
-                D, D, (((3,), (3,)), ((0, 1), (0, 1))),
-                preferred_element_type=L.dtype, precision=_HI,
-            ).reshape(Bsz * nb, panel, panel),
-            interpret=interpret,
-        )
-        W = W.reshape(Bsz, nb, panel, panel)
+        if _diag_impl() == "xla":
+            Dr = D.reshape(Bsz * nb, panel, panel)
+            eye = jnp.broadcast_to(
+                jnp.eye(panel, dtype=L.dtype), Dr.shape
+            )
+            W = jax.lax.linalg.triangular_solve(
+                Dr, eye, left_side=True, lower=True
+            ).reshape(Bsz, nb, panel, panel)
+        else:
+            # chol(D D^T) == D for lower-triangular D with positive
+            # diagonal, so one batched GEMM + the fused factor+inverse
+            # sweep yields W = inv(D) for every diagonal block without a
+            # triangular-solve custom call
+            _, W = crout_chol_wi(
+                jax.lax.dot_general(
+                    D, D, (((3,), (3,)), ((0, 1), (0, 1))),
+                    preferred_element_type=L.dtype, precision=_HI,
+                ).reshape(Bsz * nb, panel, panel),
+                interpret=interpret,
+            )
+            W = W.reshape(Bsz, nb, panel, panel)
 
     def blk(M, i):
         return M[:, i * panel : (i + 1) * panel]
