@@ -51,6 +51,8 @@ def main():
         ("xla_p256", {"GPR_FLEET_DIAG": "xla", "GPR_FLEET_PANEL": "256"}, True),
         ("xla_p64", {"GPR_FLEET_DIAG": "xla", "GPR_FLEET_PANEL": "64"}, True),
         ("xla_p32", {"GPR_FLEET_DIAG": "xla", "GPR_FLEET_PANEL": "32"}, True),
+        ("cxw_p64", {"GPR_FLEET_DIAG": "crout_xlaw", "GPR_FLEET_PANEL": "64"}, True),
+        ("cxw_p128", {"GPR_FLEET_DIAG": "crout_xlaw", "GPR_FLEET_PANEL": "128"}, True),
         ("potrf", {}, False),
     ]
     sel = set(sys.argv[1:])

@@ -44,7 +44,7 @@ from ..utils.config import matmul_precision
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _crout_sweep(S0, g: int, b: int):
+def _crout_sweep(S0, g: int, b: int, with_w: bool = True):
     """(L, W = L^{-1}) for ``g`` SPD (b, b) tiles held as one (g, b, b)
     value — THE fleet Cholesky–Crout sweep (single implementation; the
     fused kernel wraps it with g=1).
@@ -53,7 +53,10 @@ def _crout_sweep(S0, g: int, b: int):
     the trailing update and the inverse's forward-substitution step are
     full-tile masked rank-1 ops, so every loop iteration has identical
     static shapes (fori_loop-friendly) and the whole sweep vectorizes
-    across the batch dimension ``g``."""
+    across the batch dimension ``g``.  ``with_w=False`` drops the in-sweep
+    inverse (W returned as None): ~half the per-column full-tile passes —
+    pair it with XLA's batched triangular-solve-vs-I, which produces W in
+    one pass (86 us vs the sweep's per-column costs, round-3 trace)."""
     rows = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
     cols = lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
 
@@ -63,7 +66,7 @@ def _crout_sweep(S0, g: int, b: int):
     S0 = low + jnp.where(rows > cols, S0, 0.0).transpose(0, 2, 1)
 
     L0 = jnp.zeros_like(S0)
-    W0 = jnp.zeros_like(S0)
+    W0 = jnp.zeros_like(S0) if with_w else jnp.zeros((), S0.dtype)
 
     def step(j, carry):
         S, L, W = carry
@@ -82,6 +85,8 @@ def _crout_sweep(S0, g: int, b: int):
         # <= j are untouched and the next pivot reads updated data
         colu = jnp.where(rows > j, colj, 0.0)
         S = S - colu * colu.transpose(0, 2, 1)
+        if not with_w:
+            return S, L, W
         # inverse, forward substitution: row j of W is
         #   W[j, :j] = -(L[j, :j] @ W[:j, :j]) / L[j, j]
         #   W[j, j]  = 1 / L[j, j]
@@ -98,13 +103,48 @@ def _crout_sweep(S0, g: int, b: int):
         return S, L, W
 
     _, L, W = lax.fori_loop(0, b, step, (S0, L0, W0))
-    return L, W
+    return L, (W if with_w else None)
 
 
 def _crout_wi_kernel(a_ref, l_ref, w_ref, *, g: int, b: int):
     L, W = _crout_sweep(a_ref[:], g, b)
     l_ref[:] = L
     w_ref[:] = W
+
+
+def _crout_l_kernel(a_ref, l_ref, *, g: int, b: int):
+    L, _ = _crout_sweep(a_ref[:], g, b, with_w=False)
+    l_ref[:] = L
+
+
+@functools.partial(jax.jit, static_argnames=("g", "interpret"))
+def crout_chol(A: jax.Array, *, g: int = 0, interpret: bool = False):
+    """L = chol for a batch of SPD tiles ``A``: (B, b, b) — the W-free
+    sweep (~half the per-column full-tile passes of :func:`crout_chol_wi`);
+    pair with XLA's batched triangular-solve-vs-I for the inverse."""
+    B, b, b2 = A.shape
+    if b != b2:
+        raise ValueError(f"crout_chol: square tiles required, got {A.shape}")
+    if g <= 0:
+        g = max(1, min(B, (512 * 1024) // (b * b * 4)))
+        while B % g:
+            g -= 1
+    if B % g:
+        raise ValueError(f"crout_chol: g={g} must divide B={B}")
+    kernel = functools.partial(_crout_l_kernel, g=g, b=b)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, b, b), A.dtype),
+        grid=(B // g,),
+        in_specs=[pl.BlockSpec((g, b, b), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((g, b, b), lambda i: (i, 0, 0)),
+        cost_estimate=pl.CostEstimate(
+            flops=int(B * b * b * b),
+            bytes_accessed=int(2 * B * b * b * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(A)
 
 
 @functools.partial(jax.jit, static_argnames=("g", "interpret"))
@@ -175,16 +215,25 @@ def _diag_impl() -> str:
     return os.environ.get("GPR_FLEET_DIAG", _FLEET_DIAG_DEFAULT)
 
 
-_FLEET_DIAG_DEFAULT = "xla"  # round-3 on-chip A/B (benchmarks/exp_fleet_r3.py):
-# at B=128 n=512, xla-diag p64 9.8 ms vs crout p128 14.9 ms (13038 vs 8599 fits/s)
+_FLEET_DIAG_DEFAULT = "crout_xlaw"  # round-3 on-chip A/B (exp_fleet_r3.py),
+# B=128 n=512 ms/batch: crout p128 14.9 / xla p128 14.0 / xla p64 9.8 /
+# crout_xlaw p64 7.5 (17118 fits/s) — XLA's batched potrf loops column-by-
+# column (~12 us/col, 0.88 ms per 64-block step); the W-free pallas sweep
+# factors the diag blocks in ~1/4 of that and the batched trisolve-vs-I
+# custom call produces W in one ~86 us pass
 
 
 def diag_factor_inverse(D: jax.Array, *, interpret: bool = False):
     """(L, W=L^{-1}) for a batch of SPD diagonal blocks (B, b, b),
     dispatching per :func:`_diag_impl`."""
-    if _diag_impl() == "crout":
+    impl = _diag_impl()
+    if impl == "crout":
         return crout_chol_wi(D, interpret=interpret)
-    L = jax.lax.linalg.cholesky(D, symmetrize_input=False)
+    if impl == "crout_xlaw":
+        # W-free pallas sweep for L + one XLA batched trisolve for W
+        L = crout_chol(D, interpret=interpret)
+    else:
+        L = jax.lax.linalg.cholesky(D, symmetrize_input=False)
     eye = jnp.broadcast_to(
         jnp.eye(D.shape[-1], dtype=D.dtype), D.shape
     )
