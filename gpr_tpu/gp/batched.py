@@ -113,15 +113,58 @@ def fit_batched(
 
     k_axes = _kernel_in_axes(kernel, batched_kernel)
 
-    def gram_one(k, x, s):
-        K = kermod.gram(k, x)
-        return linalg.add_diagonal(K, s**2 + jitter)
-
-    K = jax.vmap(gram_one, in_axes=(k_axes, 0, 0))(kernel, X, sigma)
+    K = _fleet_gram(kernel, X, sigma**2 + jitter, k_axes)
     L, alpha = _factor_and_solve(K, Y, use_crout)
     return BatchedGP(
         kernel=kernel, X=X, Y=Y, sigma=sigma, alpha=alpha, L=L,
         batched_kernel=batched_kernel,
+    )
+
+
+def _fleet_gram(kernel, X, noise, k_axes):
+    """K[b] + noise[b]*I for the fleet: the fused batched pallas kernel for
+    the stationary families on f32 (one HBM pass; the XLA vmapped gram's
+    batched sqdist dot materializes batch-minor pieces that cost two
+    ~256 MB relayout copies at B=128 n=512 — round-3 trace), XLA vmap
+    otherwise (White/Sum/Product, f64, CPU-without-interpret)."""
+    import os
+
+    use_pallas = (
+        X.dtype == jnp.float32
+        and os.environ.get("GPR_FLEET_GRAM", "pallas") == "pallas"
+    )
+    interp = jax.default_backend() != "tpu"
+    if use_pallas and interp and os.environ.get("GPR_FLEET_GRAM") != "pallas":
+        use_pallas = False
+    if use_pallas:
+        from ..ops import pallas_gram
+
+        disp = None
+        if isinstance(kernel, kermod.Gaussian):
+            disp = ("gaussian", kernel.sigma, kernel.scale, 1.0)
+        elif isinstance(kernel, kermod.GaussianExp):
+            disp = ("gaussian", jnp.exp(kernel.sigma), jnp.exp(kernel.scale), 1.0)
+        elif isinstance(kernel, kermod.RationalQuadratic):
+            disp = ("rq", kernel.sigma, kernel.scale, kernel.alpha)
+        elif isinstance(kernel, kermod.Matern12):
+            disp = ("matern12", kernel.sigma, kernel.scale, 1.0)
+        elif isinstance(kernel, kermod.Matern32):
+            disp = ("matern32", kernel.sigma, kernel.scale, 1.0)
+        elif isinstance(kernel, kermod.Matern52):
+            disp = ("matern52", kernel.sigma, kernel.scale, 1.0)
+        elif isinstance(kernel, kermod.Periodic):
+            disp = ("periodic", kernel.sigma, kernel.scale, kernel.b)
+        if disp is not None:
+            form, sg, sc, third = disp
+            return pallas_gram.gram_pallas_batched(
+                X, sg, sc, third, diag=noise, form=form, interpret=interp
+            ).astype(X.dtype)
+
+    def gram_one(k, x, nz):
+        return linalg.add_diagonal(kermod.gram(k, x), nz)
+
+    return jax.vmap(gram_one, in_axes=(k_axes, 0, 0))(
+        kernel, X, jnp.broadcast_to(jnp.asarray(noise, X.dtype), (X.shape[0],))
     )
 
 
@@ -234,10 +277,7 @@ def fit_batched_sharded(
     bspec = P(axis, None, None)
 
     def local_fit(k, x, y, s):
-        def gram_one(kk, xx, ss):
-            return linalg.add_diagonal(kermod.gram(kk, xx), ss**2 + jitter)
-
-        K = jax.vmap(gram_one, in_axes=(k_axes, 0, 0))(k, x, s)
+        K = _fleet_gram(k, x, s**2 + jitter, k_axes)
         return _factor_and_solve(K, y, use_crout)
 
     fit = jax.jit(

@@ -35,21 +35,22 @@ def _pad_axis(a: jax.Array, axis: int, mult: int) -> jax.Array:
     return jnp.pad(a, widths)
 
 
-def _tile_body(params_ref, x, y, *, form: str, bm: int, bn: int, ti, tj,
+def _tile_body(params, x, y, *, form: str, bm: int, bn: int, ti, tj,
                d: int = 0):
     """d2 = |x|^2 + |y|^2 - 2 x.y for one (bm, bn) tile, then the RBF form.
 
-    ``params_ref[3]`` is an optional diagonal offset added where the global
-    row == column (``K + diag_add * I`` fused into the same HBM pass — the
-    scatter-based ``add_diagonal`` costs ~11 ms at n=16k on v5e)."""
+    ``params`` is a 4-sequence of scalars (sigma, scale, third, diag_add);
+    ``diag_add`` is added where the global row == column (``K + diag*I``
+    fused into the same HBM pass — the scatter-based ``add_diagonal`` costs
+    ~11 ms at n=16k on v5e)."""
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
-    sigma = params_ref[0]
-    scale = params_ref[1]
+    sigma = params[0]
+    scale = params[1]
     if form == "periodic":
         # sum_d sin^2(b (x_d - y_d)) — per-feature differences, no GEMM
         # identity exists; the static feature loop stays VPU full-tile
-        b = params_ref[2]
+        b = params[2]
         s2 = jnp.zeros((bm, bn), jnp.float32)
         for j in range(d or x.shape[1]):
             s = jnp.sin(b * (xf[:, j : j + 1] - yf[:, j : j + 1].T))
@@ -67,7 +68,7 @@ def _tile_body(params_ref, x, y, *, form: str, bm: int, bn: int, ti, tj,
     if form in ("gaussian", "periodic"):
         val = (scale * scale) * jnp.exp(-0.5 * d2 / (sigma * sigma))
     elif form == "rq":
-        alpha = params_ref[2]
+        alpha = params[2]
         val = (scale * scale) * (
             1.0 + 0.5 * d2 / (sigma * sigma * alpha)
         ) ** (-alpha)
@@ -87,7 +88,7 @@ def _tile_body(params_ref, x, y, *, form: str, bm: int, bn: int, ti, tj,
         raise ValueError(f"gram_pallas: unknown form {form!r}")
     rows = ti * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
     cols = tj * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
-    return val + jnp.where(rows == cols, params_ref[3], 0.0)
+    return val + jnp.where(rows == cols, params[3], 0.0)
 
 
 def _gram_tril_kernel(
@@ -99,18 +100,94 @@ def _gram_tril_kernel(
     The output's strict-upper tiles are UNDEFINED; valid only for consumers
     honoring the potrf('L') read contract (ops.blocked.cholesky_blocked)."""
     t = pl.program_id(0)
+    p4 = tuple(params_ref[k] for k in range(4))
     o_ref[:] = _tile_body(
-        params_ref, x_ref[:], y_ref[:], form=form, bm=bm, bn=bn, d=d,
+        p4, x_ref[:], y_ref[:], form=form, bm=bm, bn=bn, d=d,
         ti=ri_ref[t], tj=ci_ref[t],
     )
 
 
 def _gram_kernel(params_ref, x_ref, y_ref, o_ref, *, form: str, bm: int,
                  bn: int, d: int = 0):
+    p4 = tuple(params_ref[k] for k in range(4))
     o_ref[:] = _tile_body(
-        params_ref, x_ref[:], y_ref[:], form=form, bm=bm, bn=bn, d=d,
+        p4, x_ref[:], y_ref[:], form=form, bm=bm, bn=bn, d=d,
         ti=pl.program_id(0), tj=pl.program_id(1),
     )
+
+
+def _gram_batched_kernel(params_ref, x_ref, y_ref, o_ref, *, form: str,
+                         bm: int, bn: int, d: int = 0):
+    b = pl.program_id(0)
+    p4 = tuple(params_ref[b, k] for k in range(4))
+    o_ref[0] = _tile_body(
+        p4, x_ref[0], y_ref[0], form=form, bm=bm, bn=bn, d=d,
+        ti=pl.program_id(1), tj=pl.program_id(2),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("form", "bm", "interpret")
+)
+def gram_pallas_batched(
+    X: jax.Array,
+    sigma=1.0,
+    scale=1.0,
+    alpha=1.0,
+    diag=0.0,
+    *,
+    form: str = "gaussian",
+    bm: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fleet Gram: K[b] = k(X[b], X[b]) + diag[b]*I for a batch of small
+    GPs, one fused pallas pass (symmetric case).
+
+    X (B, n, d); sigma/scale/alpha/diag are scalars or (B,) vectors
+    (batched hyperparameters).  The XLA vmapped-gram alternative costs ~3x
+    at B=128 n=512 on v5e: the batched sqdist dot_general materializes its
+    pieces in a batch-minor layout and XLA inserts two 256 MB relayout
+    copies before the factorizer can consume K (round-3 trace,
+    BENCHMARKS.md)."""
+    B, n, d = X.shape
+    bm = min(bm, max(128, n))
+    Xp = _pad_axis(_pad_axis(X, 2, 128), 1, bm)
+    _, np_, dp = Xp.shape
+
+    params = jnp.stack(
+        [
+            jnp.broadcast_to(jnp.asarray(p, jnp.float32), (B,))
+            for p in (sigma, scale, alpha, diag)
+        ],
+        axis=1,
+    )  # (B, 4)
+
+    nt = np_ // bm
+    out = pl.pallas_call(
+        functools.partial(_gram_batched_kernel, form=form, bm=bm, bn=bm, d=d),
+        out_shape=jax.ShapeDtypeStruct((B, np_, np_), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nt, nt),
+            in_specs=[
+                pl.BlockSpec((1, bm, dp), lambda b, i, j, params: (b, i, 0)),
+                pl.BlockSpec((1, bm, dp), lambda b, i, j, params: (b, j, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, bm, bm), lambda b, i, j, params: (b, i, j)
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=B * (2 * np_ * np_ * dp + 6 * np_ * np_),
+            bytes_accessed=int(
+                2 * B * nt * np_ * dp * Xp.dtype.itemsize
+                + B * np_ * np_ * 4
+            ),
+            transcendentals=B * np_ * np_,
+        ),
+        interpret=interpret,
+    )(params, Xp, Xp)
+    return out[:, :n, :n]
 
 
 @functools.partial(
