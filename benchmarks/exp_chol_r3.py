@@ -26,15 +26,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = {
-    # name: (leaf, leaf_inv, right_solve, assemble)
-    "base":    ("1024", "0", "0", "concat"),
-    "dus":     ("1024", "0", "0", "dus"),
-    "rt":      ("1024", "0", "1", "concat"),
-    "rtdus":   ("1024", "0", "1", "dus"),
-    "inv256":  ("256",  "1", "1", "dus"),
-    "inv512":  ("512",  "1", "1", "dus"),
-    "inv1024": ("1024", "1", "1", "dus"),
-    "rt256":   ("256",  "0", "1", "dus"),
+    # name: (leaf, leaf_inv, right_solve, assemble, extra_env)
+    "base":    ("1024", "0", "0", "concat", {}),
+    "dus":     ("1024", "0", "0", "dus", {}),
+    "rt":      ("1024", "0", "1", "concat", {}),
+    "rtdus":   ("1024", "0", "1", "dus", {}),
+    "inv256":  ("256",  "1", "1", "dus", {}),
+    "inv512":  ("512",  "1", "1", "dus", {}),
+    "inv1024": ("1024", "1", "1", "dus", {}),
+    "rt256":   ("256",  "0", "1", "dus", {}),
+    "leaf512": ("512",  "0", "0", "concat", {}),
+    "syrk_k1024": ("1024", "0", "0", "concat", {"GPR_SYRK_BK": "1024"}),
+    "syrk_m1024": ("1024", "0", "0", "concat", {"GPR_SYRK_BM": "1024"}),
+    "flat":    ("1024", "0", "0", "concat", {"GPR_CHOL_FLAT_SOLVE": "1"}),
 }
 
 
@@ -62,11 +66,14 @@ def main():
     results = {}
     checks = {}
     for name in names:
-        leaf, inv, rt, asm = VARIANTS[name]
+        leaf, inv, rt, asm, extra = VARIANTS[name]
+        for k in ("GPR_SYRK_BM", "GPR_SYRK_BK", "GPR_CHOL_FLAT_SOLVE"):
+            os.environ.pop(k, None)
         os.environ["GPR_CHOL_LEAF"] = leaf
         os.environ["GPR_CHOL_LEAF_INV"] = inv
         os.environ["GPR_CHOL_RIGHT_SOLVE"] = rt
         os.environ["GPR_CHOL_ASSEMBLE"] = asm
+        os.environ.update(extra)
 
         from gpr_tpu.ops.blocked import cholesky_blocked
 

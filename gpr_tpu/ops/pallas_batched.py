@@ -138,6 +138,13 @@ def crout_chol(A: jax.Array, *, g: int = 0, interpret: bool = False):
         grid=(B // g,),
         in_specs=[pl.BlockSpec((g, b, b), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((g, b, b), lambda i: (i, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            # the sweep's masked-reduction temps push the compiler's scoped
+            # stack past the 16 MB default at some (g, b); budget explicitly
+            vmem_limit_bytes=min(
+                8 * g * b * b * A.dtype.itemsize + (16 << 20), 100 << 20
+            )
+        ),
         cost_estimate=pl.CostEstimate(
             flops=int(B * b * b * b),
             bytes_accessed=int(2 * B * b * b * 4),
@@ -171,6 +178,11 @@ def crout_chol_wi(
     kernel = functools.partial(_crout_wi_kernel, g=g, b=b)
     return pl.pallas_call(
         kernel,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                10 * g * b * b * A.dtype.itemsize + (16 << 20), 100 << 20
+            )
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((B, b, b), A.dtype),
             jax.ShapeDtypeStruct((B, b, b), A.dtype),

@@ -57,11 +57,30 @@ def _tile_body(params, x, y, *, form: str, bm: int, bn: int, ti, tj,
             s2 = s2 + s * s
         d2 = s2  # reuse the distance slot: exp(-0.5 d2 / sigma^2) below
     else:
-        xy = jax.lax.dot_general(
-            x, y, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,  # v5e default rounds to bf16
-        )
+        if x.dtype == jnp.float32:
+            # cross term at the framework's f32-grade 'high' tier (bf16x3
+            # hi/lo emulation, matching ops/pallas_syrk.py): HIGHEST
+            # (bf16x6) paid ~2x MXU time for accuracy below the numerics
+            # core's contract (BENCHMARKS.md precision-tier table)
+            x_hi = xf.astype(jnp.bfloat16).astype(jnp.float32)
+            y_hi = yf.astype(jnp.bfloat16).astype(jnp.float32)
+
+            def dnt(a_, b_):
+                return jax.lax.dot_general(
+                    a_, b_, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+
+            xy = dnt(x_hi, y_hi)
+            xy += dnt(x_hi, yf - y_hi)
+            xy += dnt(xf - x_hi, y_hi)
+        else:
+            xy = jax.lax.dot_general(
+                x, y, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         xx = jnp.sum(xf * xf, axis=1, keepdims=True)  # (bm, 1)
         yy = jnp.sum(yf * yf, axis=1, keepdims=True)  # (bn, 1)
         d2 = jnp.maximum(xx + yy.T - 2.0 * xy, 0.0)

@@ -154,10 +154,20 @@ def syrk_update(
     )
     kernel = functools.partial(_syrk_kernel, precision=precision)
     flops_per_pass = {"default": 1, "high": 3, "highest": 6}.get(precision, 1)
+    # explicit VMEM budget: the default 16 MB scoped budget is borderline
+    # at 512-tiles (one axon toolchain snapshot rejected the identical
+    # program at a 17.11M scoped stack — compiler-internal stack exceeds
+    # the naive buffer estimate) and insufficient at 1024-tiles.  Double
+    # the buffer estimate plus a 16 MB base covers both.
+    itemsize = A22.dtype.itemsize
+    vmem = 4 * (2 * bm * bk + 3 * bm * bm) * itemsize + (16 << 20)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, m), A22.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem), 100 * (1 << 20))
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * bm * bm * k * flops_per_pass,
             bytes_accessed=(2 * T * bm * k + 2 * T * bm * bm)
