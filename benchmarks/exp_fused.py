@@ -36,6 +36,7 @@ def main():
 
     n = int(os.environ.get("BENCH_N", 8192))
     panel = int(os.environ.get("GPR_FUSED_PANEL", 512))
+    chunk = int(os.environ.get("GPR_FUSED_CHUNK", 4))
     rng = np.random.default_rng(0)
     Xm = rng.standard_normal((n, 256)).astype(np.float32)
     A = jnp.asarray(Xm) @ jnp.asarray(Xm.T) * (1.0 / 256) + 4.0 * jnp.eye(
@@ -45,8 +46,12 @@ def main():
 
     interp = jax.default_backend() != "tpu"
 
+    ablate = os.environ.get("GPR_FUSED_ABLATE", "")
+
     def fused(a):
-        return cholesky_fused(a, panel=panel, interpret=interp)
+        return cholesky_fused(
+            a, panel=panel, chunk=chunk, interpret=interp, ablate=ablate
+        )
 
     variants = {"blocked": cholesky_blocked, "fused": fused}
     names = sys.argv[1:] or list(variants)
@@ -56,7 +61,7 @@ def main():
     Lf = variants["fused"](A)
     scale = float(jnp.max(jnp.abs(jnp.tril(Lb))))
     rel = float(jnp.max(jnp.abs(jnp.tril(Lf) - jnp.tril(Lb)))) / scale
-    print(json.dumps({"check_rel_fused_vs_blocked": rel, "n": n, "panel": panel}))
+    print(json.dumps({"check_rel_fused_vs_blocked": rel, "n": n, "panel": panel, "chunk": chunk}))
 
     flops = n**3 / 3
     results = {}

@@ -70,13 +70,15 @@ _BLOCKED_MIN_N = 1024
 
 
 def _chol_schedule() -> str:
-    """Large-matrix factorization schedule: 'recursive' (ops/blocked.py,
-    the measured round-1 default) or 'inplace' (ops/inplace_chol.py, the
-    buffer-aliased wide-panel pallas chain).  GPR_CHOL_SCHEDULE overrides
-    for on-chip A/B."""
+    """Large-matrix factorization schedule: 'fused' (ops/pallas_fullchol.py,
+    the whole factorization as ONE pallas dispatch — measured fastest on
+    v5e round 3), 'recursive' (ops/blocked.py, the round-1/2 default), or
+    'inplace' (ops/inplace_chol.py, the buffer-aliased wide-panel pallas
+    chain — measured negative result).  GPR_CHOL_SCHEDULE overrides for
+    on-chip A/B."""
     import os
 
-    return os.environ.get("GPR_CHOL_SCHEDULE", "recursive")
+    return os.environ.get("GPR_CHOL_SCHEDULE", "fused")
 
 
 def _inplace_usable(A: jax.Array) -> bool:
@@ -88,10 +90,22 @@ def _inplace_usable(A: jax.Array) -> bool:
     )
 
 
+def _fused_usable(A: jax.Array) -> bool:
+    if _chol_schedule() != "fused":
+        return False
+    from .pallas_fullchol import fused_usable
+
+    return fused_usable(A)
+
+
 def chol_lower(A: jax.Array) -> jax.Array:
     """Lower Cholesky factor, dispatching to the blocked kernel for large
     single matrices (batched inputs use the stock primitive)."""
     if A.ndim == 2 and A.shape[0] >= _BLOCKED_MIN_N:
+        if _fused_usable(A):
+            from .pallas_fullchol import cholesky_fused
+
+            return cholesky_fused(A)
         if _inplace_usable(A):
             from .inplace_chol import cholesky_inplace
 
@@ -160,7 +174,13 @@ def _safe_cholesky_impl(A, initial_jitter, max_tries):
     # factor forces the concat-assembly tree to materialize (+~4.3 ms at
     # n=16k on v5e, trace-measured); assembling once after the loop lets
     # XLA elide or fuse the concats into the consumers/outputs.
-    if A.ndim == 2 and A.shape[0] >= _BLOCKED_MIN_N and _inplace_usable(A):
+    if A.ndim == 2 and A.shape[0] >= _BLOCKED_MIN_N and _fused_usable(A):
+        from .pallas_fullchol import cholesky_fused
+
+        factor = cholesky_fused
+        ok_of = _diag_ok  # a failed pivot NaN-poisons every later panel
+        finish = lambda L: L
+    elif A.ndim == 2 and A.shape[0] >= _BLOCKED_MIN_N and _inplace_usable(A):
         from .inplace_chol import cholesky_inplace
 
         interp = jax.default_backend() != "tpu"

@@ -155,92 +155,178 @@ def _d16(x, y):
 def _fused_kernel(
     a_hbm, o_hbm, p_buf, t_buf, rhi, rlo,
     sem_in, sem_t, sem_z, sem_o,
-    *, n: int, p: int, b: int, sw: int, nc: int,
+    *, n: int, p: int, b: int, sw: int, nc: int, h: int, ablate: str,
 ):
     j = pl.program_id(0)
 
     def out_cp(c, sem):
         return pltpu.make_async_copy(
-            p_buf.at[pl.ds(c * p, p), :],
+            p_buf.at[c],
             o_hbm.at[pl.ds(c * p, p), pl.ds(j * p, p)],
             sem,
         )
 
-    # --- 1. panel strip in ------------------------------------------------
-    cp_in = pltpu.make_async_copy(
-        a_hbm.at[:, pl.ds(j * p, p)], p_buf, sem_in
-    )
-    cp_in.start()
-    cp_in.wait()
+    # --- 1. panel strip in (only the rows this panel owns) -----------------
+    def in_cp(c):
+        return pltpu.make_async_copy(
+            a_hbm.at[pl.ds(c * p, p), pl.ds(j * p, p)],
+            p_buf.at[c],
+            sem_in,
+        )
+
+    def istart(c, _):
+        in_cp(c).start()
+        return 0
+
+    jax.lax.fori_loop(j, nc, istart, 0)
 
     # --- 2. strict-upper chunks: zero and stream out (overlaps step 3) ----
     def zbody(c, _):
-        p_buf[pl.ds(c * p, p), :] = jnp.zeros((p, p), p_buf.dtype)
+        p_buf[c] = jnp.zeros((p, p), p_buf.dtype)
         out_cp(c, sem_z).start()
         return 0
 
     jax.lax.fori_loop(0, j, zbody, 0)
 
-    # --- 3. left-looking update, double-buffered tile stream --------------
-    span = nc - j
-    total = j * span  # tiles (k < j) x (chunk c in [j, nc))
+    def iwait(c, _):
+        in_cp(c).wait()
+        return 0
 
-    def tile_cp(slot, k, c):
+    jax.lax.fori_loop(j, nc, iwait, 0)
+
+    # --- 3. left-looking update, double-buffered tile stream --------------
+    # Chunks are (2p, p) tiles aligned to the panel start (row j*p), with a
+    # (p, p) tail when the remaining span is odd — the double-height tile
+    # halves the loop-iteration count and gives the MXU a (2p, p, p)
+    # contraction per step.  k-major order: each segment's first chunk
+    # (u == 0) contains the row block R_k = L[j*p:(j+1)*p, k*p:...] in its
+    # top half, whose bf16 split is parked for the whole segment.
+    span = nc - j
+    nfull = span // h  # (h*p)-row chunks per segment
+    ntail = span - h * nfull  # 0..h-1 trailing (p)-row chunks
+    per_k = nfull + ntail
+    total = j * per_k
+
+    def full_cp(slot, k, u):
         return pltpu.make_async_copy(
-            o_hbm.at[pl.ds(c * p, p), pl.ds(k * p, p)],
+            o_hbm.at[pl.ds(j * p + u * (h * p), h * p), pl.ds(k * p, p)],
             t_buf.at[slot],
             sem_t.at[slot],
         )
 
+    def tail_cp(slot, k, u):
+        # tail chunks cover p rows each, after the nfull full chunks
+        off = j * p + (nfull * h + (u - nfull)) * p
+        return pltpu.make_async_copy(
+            o_hbm.at[pl.ds(off, p), pl.ds(k * p, p)],
+            t_buf.at[slot, pl.ds(0, p), :],
+            sem_t.at[slot],
+        )
+
+    def start_dma(slot, k, u):
+        @pl.when(u < nfull)
+        def _():
+            full_cp(slot, k, u).start()
+
+        @pl.when(u >= nfull)
+        def _():
+            tail_cp(slot, k, u).start()
+
+    def wait_dma(slot, k, u):
+        @pl.when(u < nfull)
+        def _():
+            full_cp(slot, k, u).wait()
+
+        @pl.when(u >= nfull)
+        def _():
+            tail_cp(slot, k, u).wait()
+
     @pl.when(total > 0)
     def _():
-        tile_cp(0, 0, j).start()
+        start_dma(0, 0, 0)
 
-    def ubody(it, kc):
-        k, c = kc
+    def ubody(it, ku):
+        k, u = ku
         slot = jax.lax.rem(it, 2)
-        # next tile's coordinates (k-major, c from j to nc-1)
-        wrap = c + 1 == nc
+        wrap = u + 1 == per_k
         kn = jnp.where(wrap, k + 1, k)
-        cn = jnp.where(wrap, j, c + 1)
+        un = jnp.where(wrap, 0, u + 1)
 
         @pl.when(it + 1 < total)
         def _():
-            tile_cp(1 - slot, kn, cn).start()
+            start_dma(1 - slot, kn, un)
 
-        tile_cp(slot, k, c).wait()
-        t = t_buf[slot]
-        thi, tlo = _bf16_split(t)
+        wait_dma(slot, k, u)
 
-        @pl.when(c == j)
+        @pl.when(u < nfull)
         def _():
-            # this tile IS R_k = L[j, k]; park its split for the segment
-            rhi[:] = thi
-            rlo[:] = tlo
+            t = t_buf[slot]  # (h*p, p)
+            thi, tlo = _bf16_split(t)
 
-        acc = _d16(thi, rhi[:])
-        acc += _d16(thi, rlo[:])
-        acc += _d16(tlo, rhi[:])
-        p_buf[pl.ds(c * p, p), :] -= acc
-        return (kn, cn)
+            @pl.when(u == 0)
+            def _():
+                rhi[:] = thi[0:p]
+                rlo[:] = tlo[0:p]
+
+            if ablate == "dots":  # timing ablation: no MXU work
+                acc = thi + tlo
+            else:
+                acc = _d16(thi, rhi[:])
+                acc += _d16(thi, rlo[:])
+                acc += _d16(tlo, rhi[:])
+            if ablate != "rmw":  # timing ablation: no p_buf subtract
+                c0 = j + u * h
+                for q in range(h):
+                    p_buf[c0 + q] -= acc[q * p : (q + 1) * p]
+            else:
+                rhi[0:1, 0:1] = acc[0:1, 0:1]
+
+        @pl.when(u >= nfull)
+        def _():
+            t = t_buf[slot, 0:p, :]  # (p, p) tail
+            thi, tlo = _bf16_split(t)
+
+            @pl.when(u == 0)
+            def _():
+                # span < h: the first tail chunk IS the row block R_k
+                rhi[:] = thi
+                rlo[:] = tlo
+
+            if ablate == "dots":
+                acc = thi + tlo
+            else:
+                acc = _d16(thi, rhi[:])
+                acc += _d16(thi, rlo[:])
+                acc += _d16(tlo, rhi[:])
+            ct = j + nfull * h + (u - nfull)
+            if ablate != "rmw":
+                p_buf[ct] -= acc
+            else:
+                rlo[0:1, 0:1] = acc[0:1, 0:1]
+
+        return (kn, un)
 
     jax.lax.fori_loop(
-        0, total, ubody, (jnp.asarray(0, jnp.int32), j)
+        0, total, ubody, (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
     )
 
     # --- 4. diagonal factor + inverse, in VMEM -----------------------------
-    D = p_buf[pl.ds(j * p, p), :]
-    Ld, W = _factor_diag_wi(D, p, b, sw)
-    p_buf[pl.ds(j * p, p), :] = Ld
+    D = p_buf[j]
+    if ablate == "diag":  # timing ablation: skip the factor (garbage result)
+        Ld, W = D, jnp.eye(p, dtype=D.dtype)
+    else:
+        Ld, W = _factor_diag_wi(D, p, b, sw)
+    p_buf[j] = Ld
     out_cp(j, sem_o).start()
     whi, wlo = _bf16_split(W)
 
     # --- 5. panel solve as GEMMs vs W, streamed out ------------------------
     def sbody(c, _):
-        Pc = p_buf[pl.ds(c * p, p), :]
-        phi, plo = _bf16_split(Pc)
-        Lc = _d16(phi, whi) + (_d16(phi, wlo) + _d16(plo, whi))
-        p_buf[pl.ds(c * p, p), :] = Lc
+        if ablate != "solve":  # timing ablation: skip the solve GEMMs
+            Pc = p_buf[c]
+            phi, plo = _bf16_split(Pc)
+            Lc = _d16(phi, whi) + (_d16(phi, wlo) + _d16(plo, whi))
+            p_buf[c] = Lc
         out_cp(c, sem_o).start()
         return 0
 
@@ -261,15 +347,17 @@ def _fused_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("panel", "block", "sw", "interpret")
+    jax.jit, static_argnames=("panel", "block", "sw", "chunk", "interpret", "ablate")
 )
 def cholesky_fused(
     A: jax.Array,
     *,
     panel: int = 512,
     block: int = 256,
-    sw: int = 8,
+    sw: int = 16,
+    chunk: int = 2,
     interpret: bool = False,
+    ablate: str = "",
 ) -> jax.Array:
     """Lower Cholesky factor of SPD ``A`` — the whole factorization as a
     single pallas dispatch (see module docstring).
@@ -284,13 +372,14 @@ def cholesky_fused(
         )
     nc = n // panel
     kernel = functools.partial(
-        _fused_kernel, n=n, p=panel, b=block, sw=sw, nc=nc
+        _fused_kernel, n=n, p=panel, b=block, sw=sw, nc=nc, h=chunk,
+        ablate=ablate,
     )
     itemsize = jnp.dtype(A.dtype).itemsize
     # p_buf (doubled for compiler headroom) + tile slots + R hi/lo, plus a
     # 24 MB base for the Mosaic stack (the diagonal factor's value-carried
     # blocks live on it)
-    vmem = (2 * n * panel + 2 * 4 * panel * panel) * itemsize + (24 << 20)
+    vmem = (2 * n * panel + (2 * chunk + 4) * panel * panel) * itemsize + (24 << 20)
     return pl.pallas_call(
         kernel,
         grid=(nc,),
@@ -298,8 +387,8 @@ def cholesky_fused(
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((n, n), A.dtype),
         scratch_shapes=[
-            pltpu.VMEM((n, panel), A.dtype),         # p_buf
-            pltpu.VMEM((2, panel, panel), A.dtype),  # t_buf
+            pltpu.VMEM((n // panel, panel, panel), A.dtype),  # p_buf
+            pltpu.VMEM((2, chunk * panel, panel), A.dtype),  # t_buf
             pltpu.VMEM((panel, panel), A.dtype),     # rhi
             pltpu.VMEM((panel, panel), A.dtype),     # rlo
             pltpu.SemaphoreType.DMA(()),             # sem_in

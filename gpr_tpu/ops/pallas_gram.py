@@ -57,11 +57,15 @@ def _tile_body(params, x, y, *, form: str, bm: int, bn: int, ti, tj,
             s2 = s2 + s * s
         d2 = s2  # reuse the distance slot: exp(-0.5 d2 / sigma^2) below
     else:
-        if x.dtype == jnp.float32:
+        if x.dtype == jnp.float32 and form != "matern12":
             # cross term at the framework's f32-grade 'high' tier (bf16x3
             # hi/lo emulation, matching ops/pallas_syrk.py): HIGHEST
             # (bf16x6) paid ~2x MXU time for accuracy below the numerics
-            # core's contract (BENCHMARKS.md precision-tier table)
+            # core's contract (BENCHMARKS.md precision-tier table).
+            # matern12 keeps HIGHEST: its r = sqrt(d2) cusp amplifies a
+            # d2 error e to sqrt(e) near the diagonal (dK/d(d2) ~ 1/r),
+            # turning the tier's ~1e-5 into ~1e-2 kernel error; the
+            # C^1/C^2 matern32/52 damp the same error quadratically
             x_hi = xf.astype(jnp.bfloat16).astype(jnp.float32)
             y_hi = yf.astype(jnp.bfloat16).astype(jnp.float32)
 

@@ -95,7 +95,11 @@ class TestPallasGram:
         K2 = np.asarray(
             gram(RationalQuadratic(0.8, 1.1, 2.0), jnp.asarray(X))
         )
-        np.testing.assert_allclose(K1, K2, atol=1e-5)
+        # the pallas cross-term runs the f32-grade 'high' tier via the
+        # explicit bf16x3 split (hi*hi + hi*lo + lo*hi, dropping lo*lo);
+        # the XLA reference on CPU is f32-exact, so the comparison is at
+        # the tier's error class (~1e-5 relative), not f32 epsilon
+        np.testing.assert_allclose(K1, K2, atol=1e-4)
 
     def test_sqdist_form(self):
         rng = np.random.default_rng(2)
@@ -104,7 +108,8 @@ class TestPallasGram:
             gram_pallas(jnp.asarray(X), jnp.asarray(X), form="sqdist", interpret=True)
         )
         ref = ((X[:, None] - X[None]) ** 2).sum(-1)
-        np.testing.assert_allclose(D, ref, atol=1e-4)
+        # bf16x3 cross-term: tier-class tolerance (see test_rq_matches_xla)
+        np.testing.assert_allclose(D, ref, atol=1e-3)
 
     def test_padding_boundaries(self):
         """Sizes straddling tile boundaries must crop cleanly."""
@@ -117,7 +122,8 @@ class TestPallasGram:
             )
             assert K.shape == (n, m)
             K2 = np.asarray(gram(Gaussian(1.0, 1.0), jnp.asarray(X), jnp.asarray(Y)))
-            np.testing.assert_allclose(K, K2, atol=1e-5)
+            # bf16x3 cross-term: tier-class tolerance (test_rq_matches_xla)
+            np.testing.assert_allclose(K, K2, atol=1e-4)
 
     def test_fused_diagonal(self):
         """diag adds on the GLOBAL i==j positions only (K + diag*I fused
@@ -840,8 +846,10 @@ class TestPallasGramForms:
             got = pallas_gram.gram_pallas(
                 X, X, k.sigma, k.scale, third, form=form, interpret=True
             )
+            # bf16x3 cross-term: tier-class tolerance (see
+            # TestPallasGram.test_rq_matches_xla)
             np.testing.assert_allclose(np.asarray(got), ref, rtol=0,
-                                       atol=5e-5, err_msg=form)
+                                       atol=2e-4, err_msg=form)
 
     def test_fit_dispatch_all_families(self):
         import math
