@@ -349,6 +349,37 @@ def fit(
             disp = ("periodic", kernel.sigma, kernel.scale, kernel.b)
         if disp is not None:
             form, sg, sc, third = disp
+            # One-dispatch fit: Gram construction + diagonal add +
+            # factorization as a SINGLE pallas kernel (ops/pallas_fullchol.
+            # gram_cholesky_fused) — the Gram matrix never exists in HBM
+            # at all (measured −1.8 ms vs tril-gram -> safe_cholesky at
+            # n=16k on v5e).  GPR_FIT_SCHEDULE=twopass restores the
+            # separate-pass route for A/B.
+            from ..ops import pallas_fullchol
+
+            n = X.shape[0]
+            if (
+                form in pallas_fullchol._GRAM_FORMS
+                and X.dtype == jnp.float32
+                and n % 512 == 0
+                and n >= 1024
+                and jax.default_backend() == "tpu"
+                and linalg._chol_schedule() == "fused"
+                and os.environ.get("GPR_FIT_SCHEDULE", "fused") == "fused"
+            ):
+                L, _ = pallas_fullchol.safe_gram_cholesky_fused(
+                    X, sg, sc, third, noise,
+                    form=form, initial_jitter=jitter,
+                )
+                alpha = linalg.cho_solve(L, Y)
+                return GP(
+                    kernel=kernel,
+                    X=X,
+                    Y=Y,
+                    sigma=jnp.asarray(sigma, X.dtype),
+                    alpha=alpha,
+                    L=None if efficient_storage else L,
+                )
             K = pallas_gram.gram_pallas(
                 X, X, sg, sc, third, diag=noise,
                 form=form, interpret=interp, tril=tril,

@@ -64,6 +64,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_panel import _strip_factor, _inv_upper
 
 _HI = jax.lax.Precision.HIGHEST
+
+
+def _rem2(i):
+    # literal 2 in the loop-index dtype (x64 mode would promote to int64)
+    return jax.lax.rem(i, jnp.asarray(2, i.dtype))
 _NT = (((1,), (1,)), ((), ()))  # contract last with last: X @ Y^T
 _NN = (((1,), (0,)), ((), ()))  # plain X @ Y
 
@@ -117,26 +122,7 @@ def _factor_diag_wi(D, p, b, sw):
             for m in range(j + 1, i):
                 acc = acc + _dot(L[i][m], W[m][j], _NN)
             W[i][j] = -_dot(W[i][i], acc, _NN)
-    z = jnp.zeros((b, b), D.dtype)
-    Lf = jnp.concatenate(
-        [
-            jnp.concatenate(
-                [L[i][j] if j <= i else z for j in range(nb)], axis=1
-            )
-            for i in range(nb)
-        ],
-        axis=0,
-    )
-    Wf = jnp.concatenate(
-        [
-            jnp.concatenate(
-                [W[i][j] if j <= i else z for j in range(nb)], axis=1
-            )
-            for i in range(nb)
-        ],
-        axis=0,
-    )
-    return Lf, Wf
+    return L, W  # lower-block lists; upper blocks are None (exact zero)
 
 
 def _bf16_split(x):
@@ -145,196 +131,368 @@ def _bf16_split(x):
 
 
 def _d16(x, y):
-    """One bf16 MXU pass (operands are bf16-exact f32 values)."""
+    """One bf16 MXU pass with f32 accumulation (operands are bf16 values
+    or bf16-exact f32 values)."""
     return jax.lax.dot_general(
-        x, y, _NT, preferred_element_type=x.dtype,
+        x, y, _NT, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
     )
 
 
+def _gram_tile(xb, yb, y_hi, y_lo, yy, form, par, p):
+    """One (p, p) kernel-function tile K(X_c, X_j) from feature blocks.
+
+    Same math as ops/pallas_gram (the standalone fused Gram kernel): GEMM
+    sqdist identity with the cross term at the f32-grade bf16x3 tier —
+    except matern12, whose r->0 cusp amplifies sqdist noise (see
+    pallas_gram), computed at HIGHEST."""
+    sigma, scale, third = par[0, 0], par[0, 1], par[0, 2]
+    xx = jnp.sum(xb * xb, axis=1, keepdims=True)  # (p, 1)
+    if form == "matern12":
+        cross = jax.lax.dot_general(
+            xb, yb, _NT, preferred_element_type=jnp.float32, precision=_HI
+        )
+    else:
+        x_hi = xb.astype(jnp.bfloat16).astype(jnp.float32)
+        cross = _d16(x_hi, y_hi)
+        cross += _d16(x_hi, y_lo)
+        cross += _d16(xb - x_hi, y_hi)
+    d2 = jnp.maximum(xx + yy.T - 2.0 * cross, 0.0)
+    if form in ("gaussian",):
+        val = (scale * scale) * jnp.exp(-0.5 * d2 / (sigma * sigma))
+    elif form == "rq":
+        val = (scale * scale) * (
+            1.0 + 0.5 * d2 / (sigma * sigma * third)
+        ) ** (-third)
+    elif form in ("matern12", "matern32", "matern52"):
+        r = jnp.sqrt(d2)
+        if form == "matern12":
+            val = (scale * scale) * jnp.exp(-r / sigma)
+        elif form == "matern32":
+            a = jnp.float32(3.0**0.5) * r / sigma
+            val = (scale * scale) * (1.0 + a) * jnp.exp(-a)
+        else:
+            a = jnp.float32(5.0**0.5) * r / sigma
+            val = (scale * scale) * (1.0 + a + a * a / 3.0) * jnp.exp(-a)
+    else:
+        raise ValueError(f"gram_cholesky_fused: unsupported form {form!r}")
+    return val
+
+
 def _fused_kernel(
-    a_hbm, o_hbm, p_buf, t_buf, rhi, rlo,
-    sem_in, sem_t, sem_z, sem_o,
-    *, n: int, p: int, b: int, sw: int, nc: int, h: int, ablate: str,
+    src_hbm, par_ref, o_hbm, s_hbm, p_buf, t_buf, r_buf, hl_buf, z16,
+    sem_in, sem_t, sem_r, sem_z, sem_o, sem_hl,
+    *, n: int, p: int, b: int, sw: int, nc: int, h: int, g: int,
+    form: str | None, ablate: str,
 ):
     j = pl.program_id(0)
+    f32 = p_buf.dtype
+    bf16 = jnp.bfloat16
 
-    def out_cp(c, sem):
+    # ---- output descriptors ------------------------------------------------
+    def out_cp(c, sem):  # f32 L chunk
         return pltpu.make_async_copy(
             p_buf.at[c],
             o_hbm.at[pl.ds(c * p, p), pl.ds(j * p, p)],
             sem,
         )
 
-    # --- 1. panel strip in (only the rows this panel owns) -----------------
+    def out_hl(c, sl):  # packed bf16 hi|lo chunk, staged in hl_buf[sl]
+        return pltpu.make_async_copy(
+            hl_buf.at[sl],
+            s_hbm.at[j, pl.ds(c * p, p), :],
+            sem_hl.at[sl],
+        )
+
+    def out_z16(c):  # zero packed chunk (shared read-only source)
+        return pltpu.make_async_copy(
+            z16, s_hbm.at[j, pl.ds(c * p, p), :], sem_z
+        )
+
     def in_cp(c):
         return pltpu.make_async_copy(
-            a_hbm.at[pl.ds(c * p, p), pl.ds(j * p, p)],
+            src_hbm.at[pl.ds(c * p, p), pl.ds(j * p, p)],
             p_buf.at[c],
             sem_in,
         )
 
-    def istart(c, _):
-        in_cp(c).start()
-        return 0
+    z16[:] = jnp.zeros((p, 2 * p), bf16)
 
-    jax.lax.fori_loop(j, nc, istart, 0)
+    # --- 1. panel strip in (only the rows this panel owns) -----------------
+    if form is None:
+        def istart(c, _):
+            in_cp(c).start()
+            return 0
 
-    # --- 2. strict-upper chunks: zero and stream out (overlaps step 3) ----
+        jax.lax.fori_loop(j, nc, istart, 0)
+    else:
+        # gram mode: the strip IS the kernel-function tile column, computed
+        # from the VMEM-resident feature blocks — no Gram pass over HBM at
+        # all (K + (sigma^2 + jitter) I materializes only inside VMEM)
+        yb = src_hbm[j]  # (p, d) — src is the (nc, p, d) feature array
+        yy = jnp.sum(yb * yb, axis=1, keepdims=True)
+        y_hi = yb.astype(bf16).astype(f32)
+        y_lo = yb - y_hi
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+
+        def fill(c, _):
+            val = _gram_tile(src_hbm[c], yb, y_hi, y_lo, yy, form, par_ref[:], p)
+            gr = c * p + rows_i
+            gc = j * p + cols_i
+            val = val + jnp.where(gr == gc, par_ref[0, 3], 0.0)
+            p_buf[c] = val
+            return 0
+
+        jax.lax.fori_loop(j, nc, fill, 0)
+
+    # --- 2. strict-upper chunks: zeros out (f32 + packed), overlap step 3 --
     def zbody(c, _):
-        p_buf[c] = jnp.zeros((p, p), p_buf.dtype)
+        p_buf[c] = jnp.zeros((p, p), f32)
         out_cp(c, sem_z).start()
+        out_z16(c).start()
         return 0
 
     jax.lax.fori_loop(0, j, zbody, 0)
 
-    def iwait(c, _):
-        in_cp(c).wait()
-        return 0
+    if form is None:
+        def iwait(c, _):
+            in_cp(c).wait()
+            return 0
 
-    jax.lax.fori_loop(j, nc, iwait, 0)
+        jax.lax.fori_loop(j, nc, iwait, 0)
 
-    # --- 3. left-looking update, double-buffered tile stream --------------
-    # Chunks are (2p, p) tiles aligned to the panel start (row j*p), with a
-    # (p, p) tail when the remaining span is odd — the double-height tile
-    # halves the loop-iteration count and gives the MXU a (2p, p, p)
-    # contraction per step.  k-major order: each segment's first chunk
-    # (u == 0) contains the row block R_k = L[j*p:(j+1)*p, k*p:...] in its
-    # top half, whose bf16 split is parked for the whole segment.
+    # --- 3. left-looking update --------------------------------------------
+    # Columns are consumed in GROUPS of g panels; each group's row blocks
+    # R_k (packed bf16 hi|lo, (p, 2p)) are loaded once into r_buf and the
+    # (h*p)-row chunks stream through t_buf, double-buffered.  The packed
+    # slab (s_hbm, one (n, 2p) slab per column panel written by step 4/5)
+    # means NO per-read bf16 splitting and ONE contiguous DMA per tile;
+    # grouping means ONE p_buf read-modify-write per g columns instead of
+    # per column (the RMW was ~4 ms of serial VPU at n=16k when done per
+    # (k, chunk) pair).
+    #
+    # nc == 1 (single panel): j is always 0, there are no factored panels
+    # to consume — skip the machinery at TRACE time (its full-chunk DMA
+    # descriptors would otherwise index h*p > n rows of s_hbm).
     span = nc - j
-    nfull = span // h  # (h*p)-row chunks per segment
-    ntail = span - h * nfull  # 0..h-1 trailing (p)-row chunks
-    per_k = nfull + ntail
-    total = j * per_k
+    nfull = span // h
+    per_k = nfull + (span - h * nfull)  # full chunks + (p)-row tails
+    ngroups = (j + g - 1) // g
 
-    def full_cp(slot, k, u):
-        return pltpu.make_async_copy(
-            o_hbm.at[pl.ds(j * p + u * (h * p), h * p), pl.ds(k * p, p)],
-            t_buf.at[slot],
+    def glen_of(kg):
+        return jnp.minimum(g, j - kg * g)
+
+    def r_start(rslot, kg):
+        def si(i, _):
+            pltpu.make_async_copy(
+                s_hbm.at[kg * g + i, pl.ds(j * p, p), :],
+                r_buf.at[rslot, i],
+                sem_r.at[rslot],
+            ).start()
+            return 0
+
+        if g == 1:
+            si(0, 0)
+        else:
+            jax.lax.fori_loop(0, glen_of(kg), si, 0)
+
+    def r_wait(rslot, kg):
+        def wi(i, _):
+            pltpu.make_async_copy(
+                s_hbm.at[kg * g + i, pl.ds(j * p, p), :],
+                r_buf.at[rslot, i],
+                sem_r.at[rslot],
+            ).wait()
+            return 0
+
+        if g == 1:
+            wi(0, 0)
+        else:
+            jax.lax.fori_loop(0, glen_of(kg), wi, 0)
+
+    def t_cp(slot, i, kg, u):
+        k = kg * g + i
+        full = pltpu.make_async_copy(
+            s_hbm.at[k, pl.ds(j * p + u * (h * p), h * p), :],
+            t_buf.at[slot, i],
             sem_t.at[slot],
         )
-
-    def tail_cp(slot, k, u):
-        # tail chunks cover p rows each, after the nfull full chunks
         off = j * p + (nfull * h + (u - nfull)) * p
-        return pltpu.make_async_copy(
-            o_hbm.at[pl.ds(off, p), pl.ds(k * p, p)],
-            t_buf.at[slot, pl.ds(0, p), :],
+        tailc = pltpu.make_async_copy(
+            s_hbm.at[k, pl.ds(off, p), :],
+            t_buf.at[slot, i, pl.ds(0, p), :],
             sem_t.at[slot],
         )
+        return full, tailc
 
-    def start_dma(slot, k, u):
-        @pl.when(u < nfull)
-        def _():
-            full_cp(slot, k, u).start()
+    def t_start(slot, kg, u):
+        def si(i, _):
+            full, tailc = t_cp(slot, i, kg, u)
 
-        @pl.when(u >= nfull)
-        def _():
-            tail_cp(slot, k, u).start()
-
-    def wait_dma(slot, k, u):
-        @pl.when(u < nfull)
-        def _():
-            full_cp(slot, k, u).wait()
-
-        @pl.when(u >= nfull)
-        def _():
-            tail_cp(slot, k, u).wait()
-
-    @pl.when(total > 0)
-    def _():
-        start_dma(0, 0, 0)
-
-    def ubody(it, ku):
-        k, u = ku
-        slot = jax.lax.rem(it, 2)
-        wrap = u + 1 == per_k
-        kn = jnp.where(wrap, k + 1, k)
-        un = jnp.where(wrap, 0, u + 1)
-
-        @pl.when(it + 1 < total)
-        def _():
-            start_dma(1 - slot, kn, un)
-
-        wait_dma(slot, k, u)
-
-        @pl.when(u < nfull)
-        def _():
-            t = t_buf[slot]  # (h*p, p)
-            thi, tlo = _bf16_split(t)
-
-            @pl.when(u == 0)
+            @pl.when(u < nfull)
             def _():
-                rhi[:] = thi[0:p]
-                rlo[:] = tlo[0:p]
+                full.start()
 
-            if ablate == "dots":  # timing ablation: no MXU work
-                acc = thi + tlo
+            @pl.when(u >= nfull)
+            def _():
+                tailc.start()
+
+            return 0
+
+        if g == 1:
+            si(0, 0)
+        else:
+            jax.lax.fori_loop(0, glen_of(kg), si, 0)
+
+    def t_wait(slot, kg, u):
+        def wi(i, _):
+            full, tailc = t_cp(slot, i, kg, u)
+
+            @pl.when(u < nfull)
+            def _():
+                full.wait()
+
+            @pl.when(u >= nfull)
+            def _():
+                tailc.wait()
+
+            return 0
+
+        if g == 1:
+            wi(0, 0)
+        else:
+            jax.lax.fori_loop(0, glen_of(kg), wi, 0)
+
+    @pl.when(j > 0)
+    def _():
+        r_start(0, 0)
+        t_start(0, 0, 0)
+
+    def gbody(kg, _):
+        rslot = _rem2(kg)
+        r_wait(rslot, kg)
+
+        @pl.when(kg + 1 < ngroups)
+        def _():
+            r_start(1 - rslot, kg + 1)
+
+        def ubody(u, _):
+            it = kg * per_k + u
+            slot = _rem2(it)
+            # prefetch the next (kg, u) pair, crossing the group boundary
+            last_u = u + 1 == per_k
+            kn = jnp.where(last_u, kg + 1, kg)
+            un = jnp.where(last_u, 0, u + 1)
+
+            @pl.when(kn < ngroups)
+            def _():
+                t_start(1 - slot, kn, un)
+
+            t_wait(slot, kg, u)
+            gl = glen_of(kg)
+
+            def dots(i, S):
+                t = t_buf[slot, i]  # (h*p, 2p) bf16: [hi | lo]
+                r = r_buf[rslot, i]  # (p, 2p) bf16
+                thi, tlo = t[:, 0:p], t[:, p : 2 * p]
+                rhi, rlo = r[:, 0:p], r[:, p : 2 * p]
+                S += _d16(thi, rhi)
+                S += _d16(thi, rlo)
+                S += _d16(tlo, rhi)
+                return S
+
+            Z = jnp.zeros((h * p, p), f32)
+            if ablate == "dots":
+                S = Z
+            elif g == 1:
+                S = dots(0, Z)
             else:
-                acc = _d16(thi, rhi[:])
-                acc += _d16(thi, rlo[:])
-                acc += _d16(tlo, rhi[:])
-            if ablate != "rmw":  # timing ablation: no p_buf subtract
+                S = jax.lax.fori_loop(0, gl, dots, Z)
+
+            @pl.when(u < nfull)
+            def _():
                 c0 = j + u * h
                 for q in range(h):
-                    p_buf[c0 + q] -= acc[q * p : (q + 1) * p]
-            else:
-                rhi[0:1, 0:1] = acc[0:1, 0:1]
+                    p_buf[c0 + q] -= S[q * p : (q + 1) * p]
 
-        @pl.when(u >= nfull)
-        def _():
-            t = t_buf[slot, 0:p, :]  # (p, p) tail
-            thi, tlo = _bf16_split(t)
-
-            @pl.when(u == 0)
+            @pl.when(u >= nfull)
             def _():
-                # span < h: the first tail chunk IS the row block R_k
-                rhi[:] = thi
-                rlo[:] = tlo
+                ct = j + nfull * h + (u - nfull)
+                p_buf[ct] -= S[0:p]
 
-            if ablate == "dots":
-                acc = thi + tlo
-            else:
-                acc = _d16(thi, rhi[:])
-                acc += _d16(thi, rlo[:])
-                acc += _d16(tlo, rhi[:])
-            ct = j + nfull * h + (u - nfull)
-            if ablate != "rmw":
-                p_buf[ct] -= acc
-            else:
-                rlo[0:1, 0:1] = acc[0:1, 0:1]
+            return 0
 
-        return (kn, un)
+        jax.lax.fori_loop(0, per_k, ubody, 0)
+        return 0
 
-    jax.lax.fori_loop(
-        0, total, ubody, (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-    )
+    jax.lax.fori_loop(0, ngroups, gbody, 0)
+
+    # ---- packed hi|lo staging (double-buffered against in-flight DMAs) ----
+    def stage_hl(c, val):
+        sl = _rem2(c)
+
+        @pl.when(c - 2 >= j)
+        def _():
+            out_hl(c - 2, sl).wait()
+
+        hi = val.astype(bf16)
+        lo = (val - hi.astype(f32)).astype(bf16)
+        hl_buf[sl] = jnp.concatenate([hi, lo], axis=1)
+        out_hl(c, sl).start()
 
     # --- 4. diagonal factor + inverse, in VMEM -----------------------------
+    nb = p // b
     D = p_buf[j]
     if ablate == "diag":  # timing ablation: skip the factor (garbage result)
-        Ld, W = D, jnp.eye(p, dtype=D.dtype)
+        Lb = [[D[0:b, 0:b] if i == m else jnp.zeros((b, b), f32) for m in range(nb)] for i in range(nb)]
+        Wb = [[jnp.eye(b, dtype=f32) if i == m else jnp.zeros((b, b), f32) for m in range(nb)] for i in range(nb)]
     else:
-        Ld, W = _factor_diag_wi(D, p, b, sw)
-    p_buf[j] = Ld
+        Lb, Wb = _factor_diag_wi(D, p, b, sw)
+    # write the factored blocks straight into the panel slot (no (p, p)
+    # concat assembly — it materializes two full tiles per panel)
+    zb = jnp.zeros((b, b), f32)
+    for i in range(nb):
+        for m in range(nb):
+            blk = Lb[i][m] if m <= i else zb
+            p_buf[j, i * b : (i + 1) * b, m * b : (m + 1) * b] = blk
     out_cp(j, sem_o).start()
-    whi, wlo = _bf16_split(W)
+    stage_hl(j, p_buf[j])
+    wsplit = [
+        [_bf16_split(Wb[i][m]) for m in range(i + 1)] for i in range(nb)
+    ]
 
-    # --- 5. panel solve as GEMMs vs W, streamed out ------------------------
+    # --- 5. panel solve as block GEMMs vs W, streamed out ------------------
+    # Lc = Pc @ W^T blockwise: Lc[:, i] = sum_{m <= i} Pc[:, m] @ W_im^T —
+    # the W blocks stay in block form, so the strict-upper zero blocks
+    # cost no MXU passes
     def sbody(c, _):
         if ablate != "solve":  # timing ablation: skip the solve GEMMs
             Pc = p_buf[c]
             phi, plo = _bf16_split(Pc)
-            Lc = _d16(phi, whi) + (_d16(phi, wlo) + _d16(plo, whi))
-            p_buf[c] = Lc
+            cols = []
+            for i in range(nb):
+                acc = None
+                for m in range(i + 1):
+                    ph = phi[:, m * b : (m + 1) * b]
+                    pe = plo[:, m * b : (m + 1) * b]
+                    whi, wlo = wsplit[i][m]
+                    t = _d16(ph, whi)
+                    t += _d16(ph, wlo)
+                    t += _d16(pe, whi)
+                    acc = t if acc is None else acc + t
+                cols.append(acc)
+            p_buf[c] = jnp.concatenate(cols, axis=1)
         out_cp(c, sem_o).start()
+        stage_hl(c, p_buf[c])
         return 0
 
     jax.lax.fori_loop(j + 1, nc, sbody, 0)
 
-    # --- 6. drain output DMAs (step j+1 reads column j) --------------------
+    # --- 6. drain (step j+1 reads column j back as update operands) --------
     def zwait(c, _):
         out_cp(c, sem_z).wait()
+        out_z16(c).wait()
         return 0
 
     jax.lax.fori_loop(0, j, zwait, 0)
@@ -345,9 +503,79 @@ def _fused_kernel(
 
     jax.lax.fori_loop(j, nc, owait, 0)
 
+    def hlwait(c, _):
+        out_hl(c, _rem2(c)).wait()
+        return 0
+
+    jax.lax.fori_loop(jnp.maximum(j, nc - 2), nc, hlwait, 0)
+
+
+def _call_fused(
+    src, par, n, dtype, *, panel, block, sw, chunk, group, form, interpret,
+    ablate,
+):
+    nc = n // panel
+    # single/few-panel matrices: the update stream's full-chunk DMA
+    # descriptors span chunk*panel rows and are traced even when the
+    # chunk loop never executes — clamp so they stay in bounds
+    chunk = min(chunk, nc)
+    kernel = functools.partial(
+        _fused_kernel, n=n, p=panel, b=block, sw=sw, nc=nc, h=chunk,
+        g=group, form=form, ablate=ablate,
+    )
+    itemsize = jnp.dtype(dtype).itemsize
+    p, h, g = panel, chunk, group
+    vmem = (
+        n * p * itemsize                    # p_buf
+        + 2 * g * (h * p) * 2 * p * 2       # t_buf (bf16, hi|lo packed)
+        + 2 * g * p * 2 * p * 2             # r_buf
+        + 2 * p * 2 * p * 2 + p * 2 * p * 2  # hl_buf + z16
+        + 14 * p * p * itemsize             # diag-factor value blocks
+        + (src.size * itemsize if form is not None else 0)  # features
+    ) + (24 << 20)
+    src_spec = pl.BlockSpec(memory_space=pltpu.ANY if form is None else pltpu.VMEM)
+    L, _ = pl.pallas_call(
+        kernel,
+        grid=(nc,),
+        in_specs=[src_spec, pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, n), dtype),                 # L (f32)
+            jax.ShapeDtypeStruct((nc, n, 2 * p), jnp.bfloat16),  # hi|lo slabs
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nc, p, p), dtype),                   # p_buf
+            pltpu.VMEM((2, g, h * p, 2 * p), jnp.bfloat16),  # t_buf
+            pltpu.VMEM((2, g, p, 2 * p), jnp.bfloat16),      # r_buf
+            pltpu.VMEM((2, p, 2 * p), jnp.bfloat16),         # hl_buf
+            pltpu.VMEM((p, 2 * p), jnp.bfloat16),            # z16
+            pltpu.SemaphoreType.DMA(()),                     # sem_in
+            pltpu.SemaphoreType.DMA((2,)),                   # sem_t
+            pltpu.SemaphoreType.DMA((2,)),                   # sem_r
+            pltpu.SemaphoreType.DMA(()),                     # sem_z
+            pltpu.SemaphoreType.DMA(()),                     # sem_o
+            pltpu.SemaphoreType.DMA((2,)),                   # sem_hl
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=min(int(vmem), 100 * (1 << 20)),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n * n * n,  # n^3/3 at 3 bf16 passes
+            bytes_accessed=(n * n * n // (3 * panel) + 3 * n * n) * itemsize,
+            transcendentals=n * n if form is not None else 0,
+        ),
+        interpret=interpret,
+    )(src, par)
+    return L
+
 
 @functools.partial(
-    jax.jit, static_argnames=("panel", "block", "sw", "chunk", "interpret", "ablate")
+    jax.jit,
+    static_argnames=("panel", "block", "sw", "chunk", "group", "interpret", "ablate"),
 )
 def cholesky_fused(
     A: jax.Array,
@@ -356,6 +584,7 @@ def cholesky_fused(
     block: int = 256,
     sw: int = 16,
     chunk: int = 2,
+    group: int = 1,
     interpret: bool = False,
     ablate: str = "",
 ) -> jax.Array:
@@ -370,43 +599,128 @@ def cholesky_fused(
             f"cholesky_fused: shape {A.shape} must be (n, n) with "
             f"n % {panel} == 0 and panel % {block} == 0"
         )
-    nc = n // panel
-    kernel = functools.partial(
-        _fused_kernel, n=n, p=panel, b=block, sw=sw, nc=nc, h=chunk,
-        ablate=ablate,
+    par = jnp.zeros((1, 8), jnp.float32)  # unused in matrix mode
+    return _call_fused(
+        A, par, n, A.dtype, panel=panel, block=block, sw=sw, chunk=chunk,
+        group=group, form=None, interpret=interpret, ablate=ablate,
     )
-    itemsize = jnp.dtype(A.dtype).itemsize
-    # p_buf (doubled for compiler headroom) + tile slots + R hi/lo, plus a
-    # 24 MB base for the Mosaic stack (the diagonal factor's value-carried
-    # blocks live on it)
-    vmem = (2 * n * panel + (2 * chunk + 4) * panel * panel) * itemsize + (24 << 20)
-    return pl.pallas_call(
-        kernel,
-        grid=(nc,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((n, n), A.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((n // panel, panel, panel), A.dtype),  # p_buf
-            pltpu.VMEM((2, chunk * panel, panel), A.dtype),  # t_buf
-            pltpu.VMEM((panel, panel), A.dtype),     # rhi
-            pltpu.VMEM((panel, panel), A.dtype),     # rlo
-            pltpu.SemaphoreType.DMA(()),             # sem_in
-            pltpu.SemaphoreType.DMA((2,)),           # sem_t
-            pltpu.SemaphoreType.DMA(()),             # sem_z
-            pltpu.SemaphoreType.DMA(()),             # sem_o
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=min(int(vmem), 100 * (1 << 20)),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=n * n * n,  # n^3/3 at 3 bf16 passes
-            bytes_accessed=(n * n * n // (6 * panel) + n * n) * itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(A)
+
+
+_GRAM_FORMS = ("gaussian", "rq", "matern12", "matern32", "matern52")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "form", "panel", "block", "sw", "chunk", "group", "interpret",
+    ),
+)
+def gram_cholesky_fused(
+    X: jax.Array,
+    sigma,
+    scale,
+    third,
+    diag,
+    *,
+    form: str = "gaussian",
+    panel: int = 512,
+    block: int = 256,
+    sw: int = 16,
+    chunk: int = 2,
+    group: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """chol(K(X, X) + diag*I) in ONE pallas dispatch — the Gram matrix is
+    never materialized in HBM: each panel strip is computed in VMEM from
+    the feature blocks (GEMM sqdist identity, the same tile math as
+    ops/pallas_gram) and factored in place.
+
+    Replaces the fit hot path's separate Gram pass + diagonal add +
+    factorization (reference lib/GaussianProcess.cpp:384-402 Gram build,
+    :374-381 noise add, :530-618 inversion) with a single kernel.
+
+    ``X``: (n, d) f32, n % panel == 0; d is zero-padded to a lane multiple
+    (padding leaves pairwise distances unchanged).  NOT differentiable
+    (training via ``fit`` is not differentiated; MLL paths keep the
+    two-pass gram -> safe_cholesky route)."""
+    if form not in _GRAM_FORMS:
+        raise ValueError(f"gram_cholesky_fused: unsupported form {form!r}")
+    n, d = X.shape
+    if n % panel:
+        raise ValueError(f"gram_cholesky_fused: n ({n}) % panel ({panel}) != 0")
+    dpad = max(128, -(-d // 128) * 128)
+    if dpad != d:
+        X = jnp.concatenate([X, jnp.zeros((n, dpad - d), X.dtype)], axis=1)
+    X3 = X.reshape(n // panel, panel, dpad)
+    par = jnp.zeros((1, 8), jnp.float32)
+    par = par.at[0, 0].set(jnp.asarray(sigma, jnp.float32))
+    par = par.at[0, 1].set(jnp.asarray(scale, jnp.float32))
+    par = par.at[0, 2].set(jnp.asarray(third, jnp.float32))
+    par = par.at[0, 3].set(jnp.asarray(diag, jnp.float32))
+    return _call_fused(
+        X3, par, n, X.dtype, panel=panel, block=block, sw=sw, chunk=chunk,
+        group=group, form=form, interpret=interpret, ablate="",
+    )
+
+
+def safe_gram_cholesky_fused(
+    X: jax.Array,
+    sigma,
+    scale,
+    third,
+    noise,
+    *,
+    form: str = "gaussian",
+    initial_jitter: float = 0.0,
+    max_tries: int = 6,
+    panel: int = 512,
+    block: int = 256,
+    sw: int = 16,
+    interpret: bool = False,
+):
+    """(L, jitter_used) with jitter escalation, entirely on the fused
+    gram+factorization kernel — the analogue of ``linalg.safe_cholesky``
+    for the one-dispatch fit path.  The retry loop re-runs the SAME
+    compiled kernel with the escalated diagonal (a failed pivot poisons
+    the last diagonal entry with NaN, detected in O(1)).
+
+    The jitter scale is analytic: every supported form is stationary with
+    k(x, x) = scale^2, so the Gram diagonal is scale^2 + noise exactly —
+    no diagonal gather needed (cf. linalg._safe_cholesky_impl's head-slice
+    heuristic)."""
+    f32 = jnp.float32
+    noise = jnp.asarray(noise, f32)
+    eps = jnp.finfo(f32).eps
+
+    def attempt(j):
+        return gram_cholesky_fused(
+            X, sigma, scale, third, noise + j, form=form, panel=panel,
+            block=block, sw=sw, interpret=interpret,
+        )
+
+    L0 = attempt(jnp.zeros((), f32))
+    ok0 = jnp.isfinite(L0[-1, -1])
+    scale32 = jnp.asarray(scale, f32)
+    base = jnp.where(
+        jnp.asarray(initial_jitter, f32) > 0,
+        jnp.asarray(initial_jitter, f32),
+        eps * jnp.maximum(scale32 * scale32 + noise, 1.0),
+    )
+
+    def cond(state):
+        ok, tries, _, _ = state
+        return jnp.logical_and(jnp.logical_not(ok), tries < max_tries)
+
+    def body(state):
+        ok, tries, jit_, L = state
+        jnew = jnp.where(tries == 0, base, jit_ * 10.0)
+        Lnew = attempt(jnew)
+        return jnp.isfinite(Lnew[-1, -1]), tries + 1, jnew, Lnew
+
+    ok, _, jit_, L = jax.lax.while_loop(
+        cond, body, (ok0, jnp.asarray(0, jnp.int32), jnp.zeros((), f32), L0)
+    )
+    return L, jit_
 
 
 def fused_usable(A) -> bool:

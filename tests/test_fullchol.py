@@ -1,0 +1,154 @@
+"""Tests for ops/pallas_fullchol — the one-dispatch fused Cholesky and the
+fused Gram+Cholesky fit hot path (interpret mode on the CPU backend; the
+real-TPU dispatch is exercised by bench.py / the chip session).
+
+Reference hot path being re-designed: include/LAPACKUtils.h:59-73 (dpotrf)
+invoked from lib/GaussianProcess.cpp:530-618, plus the Gram build at
+lib/GaussianProcess.cpp:384-402 which gram mode fuses away entirely.
+
+NOTE: interpret=True must run on the CPU backend.  On the axon remote-TPU
+backend the interpreter's jnp ops execute on-device where DEFAULT-precision
+f32 dots round operands to bf16, which silently breaks the bf16x3
+emulation (measured: 2e-2 recon error vs 1.6e-4 on CPU).  conftest.py
+forces CPU for the whole suite.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpr_tpu.ops.pallas_fullchol import (
+    cholesky_fused,
+    gram_cholesky_fused,
+    safe_gram_cholesky_fused,
+)
+
+F32 = np.float32
+
+
+def _spd(rng, n):
+    B = rng.standard_normal((n, n)).astype(F32)
+    return B @ B.T + n * np.eye(n, dtype=F32)
+
+
+def _ref_gram(X, form, sigma, scale, diag):
+    X64 = X.astype(np.float64)
+    sq = ((X64[:, None, :] - X64[None, :, :]) ** 2).sum(-1)
+    r = np.sqrt(np.maximum(sq, 0))
+    if form == "gaussian":
+        K = scale**2 * np.exp(-0.5 * sq / sigma**2)
+    elif form == "matern12":
+        K = scale**2 * np.exp(-r / sigma)
+    elif form == "matern32":
+        a = np.sqrt(3.0) * r / sigma
+        K = scale**2 * (1 + a) * np.exp(-a)
+    elif form == "matern52":
+        a = np.sqrt(5.0) * r / sigma
+        K = scale**2 * (1 + a + a * a / 3.0) * np.exp(-a)
+    elif form == "rq":
+        K = scale**2 * (1 + 0.5 * sq / (sigma**2 * 2.0)) ** (-2.0)
+    return K + diag * np.eye(len(X))
+
+
+class TestMatrixMode:
+    @pytest.mark.parametrize("n,panel,block,chunk", [
+        (128, 128, 64, 2),   # single panel: update machinery must not trace OOB
+        (256, 128, 64, 2),   # chunk == nc
+        (384, 128, 64, 2),   # odd panel count: tail chunks
+        (512, 256, 128, 2),
+    ])
+    def test_matches_numpy(self, rng, n, panel, block, chunk):
+        A = _spd(rng, n)
+        L = np.asarray(cholesky_fused(
+            jnp.asarray(A), panel=panel, block=block, sw=16, chunk=chunk,
+            interpret=True,
+        ))
+        Lr = np.linalg.cholesky(A.astype(np.float64))
+        scale = np.abs(Lr).max()
+        assert np.abs(L - Lr).max() / scale < 3e-3  # bf16x3 tier
+        assert np.all(np.triu(L, 1) == 0.0)  # exact-zero strict upper
+
+    def test_failed_pivot_poisons_last_diagonal(self, rng):
+        A = _spd(rng, 256)
+        A[3, 3] = -1e6  # non-positive pivot early in the first panel
+        L = np.asarray(cholesky_fused(
+            jnp.asarray(A), panel=128, block=64, sw=16, interpret=True,
+        ))
+        assert not np.isfinite(L[-1, -1])
+
+
+class TestGramMode:
+    @pytest.mark.parametrize("form", ["gaussian", "matern32", "matern52", "rq"])
+    def test_recon_matches_f64_gram(self, rng, form):
+        n, d = 256, 3
+        X = rng.standard_normal((n, d)).astype(F32)
+        sigma, scale, diag = 1.3, 2.1, 1.0
+        third = 2.0  # rq alpha; ignored by the other forms
+        L = np.asarray(gram_cholesky_fused(
+            jnp.asarray(X), sigma, scale, third, diag, form=form,
+            panel=128, block=64, sw=16, interpret=True,
+        ))
+        K = _ref_gram(X, form, sigma, scale, diag)
+        err = np.abs(L @ L.T - K).max() / np.abs(K).max()
+        assert err < 2e-3, f"{form}: recon rel err {err}"
+
+    def test_matern12_cusp_tier(self, rng):
+        # matern12's r->0 cusp amplifies sqdist noise; the kernel computes
+        # its cross term at HIGHEST — still looser than the smooth forms
+        n = 128
+        X = rng.standard_normal((n, 3)).astype(F32)
+        L = np.asarray(gram_cholesky_fused(
+            jnp.asarray(X), 1.3, 2.1, 1.0, 1.0, form="matern12",
+            panel=128, block=64, sw=16, interpret=True,
+        ))
+        K = _ref_gram(X, "matern12", 1.3, 2.1, 1.0)
+        assert np.abs(L @ L.T - K).max() / np.abs(K).max() < 2e-2
+
+    def test_single_panel(self, rng):
+        # regression: full-chunk DMA descriptors used to trace out of
+        # bounds when chunk*panel > n
+        X = rng.standard_normal((128, 3)).astype(F32)
+        L = np.asarray(gram_cholesky_fused(
+            jnp.asarray(X), 1.3, 2.1, 1.0, 1.0, form="gaussian",
+            panel=128, block=64, sw=16, chunk=2, interpret=True,
+        ))
+        K = _ref_gram(X, "gaussian", 1.3, 2.1, 1.0)
+        assert np.abs(L @ L.T - K).max() / np.abs(K).max() < 2e-3
+
+    def test_feature_padding_invariant(self, rng):
+        # d is zero-padded to the 128-lane multiple in the wrapper; padding
+        # must leave pairwise distances (hence K) unchanged
+        n = 128
+        X = rng.standard_normal((n, 5)).astype(F32)
+        L5 = np.asarray(gram_cholesky_fused(
+            jnp.asarray(X), 1.3, 2.1, 1.0, 1.0, form="gaussian",
+            panel=128, block=64, sw=16, interpret=True,
+        ))
+        K = _ref_gram(X, "gaussian", 1.3, 2.1, 1.0)
+        assert np.abs(L5 @ L5.T - K).max() / np.abs(K).max() < 2e-3
+
+
+class TestSafeWrapper:
+    def test_zero_jitter_on_clean_input(self, rng):
+        X = rng.standard_normal((256, 3)).astype(F32)
+        L, j = safe_gram_cholesky_fused(
+            jnp.asarray(X), 1.3, 2.1, 1.0, 1e-2, form="gaussian",
+            panel=128, block=64, interpret=True,
+        )
+        assert np.isfinite(np.asarray(L)).all()
+        assert float(j) == 0.0
+
+    def test_escalates_on_duplicates(self, rng):
+        X = rng.standard_normal((384, 3)).astype(F32)
+        X[7] = X[3]
+        X[100] = X[3]  # exactly singular K at zero noise
+        L, j = safe_gram_cholesky_fused(
+            jnp.asarray(X), 1.3, 2.1, 1.0, 0.0, form="gaussian",
+            panel=128, block=64, interpret=True,
+        )
+        L = np.asarray(L)
+        assert np.isfinite(L).all()
+        assert float(j) > 0.0
+        # factor must still reconstruct K + jitter to tier accuracy
+        K = _ref_gram(X, "gaussian", 1.3, 2.1, float(j))
+        assert np.abs(L @ L.T - K).max() / np.abs(K).max() < 2e-3
