@@ -43,7 +43,8 @@ def main():
 
     p = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    b, sw = 256, 8
+    b = int(os.environ.get("GPR_PARTS_B", 256))
+    sw = int(os.environ.get("GPR_PARTS_SW", 8))
 
     def make(body, nout=1):
         def kern(a_ref, o_ref):
@@ -69,7 +70,14 @@ def main():
 
     def diag_body(x):
         L, W = _factor_diag_wi(x, p, b, sw)
-        return x + (L + W) * 1e-30
+        out = x
+        for i in range(p // b):
+            for m in range(i + 1):
+                blk = (L[i][m] + W[i][m]) * 1e-30
+                out = out + jnp.pad(
+                    blk, ((i * b, p - (i + 1) * b), (m * b, p - (m + 1) * b))
+                )
+        return out
 
     def strip_body(x):
         xs = [

@@ -55,6 +55,7 @@ is exactly zero.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -87,15 +88,147 @@ def _mirror_lower(S, b):
     return low + strict.T
 
 
-def _factor_diag_wi(D, p, b, sw):
+def _aug_head_factor(T, sw):
+    """Cholesky-Gauss elimination of the augmented tile ``T = [H | I]``
+    ((sw, 2sw), H SPD): returns (U, R) with H = U^T U (upper) and
+    R = inv(U^T) = inv(L) (lower).
+
+    Scaling row r by rsqrt(pivot) then eliminating below makes the left
+    half L^T and tracks M = L^{-1} in the right half (M H = L^T).  The
+    serial dependency chain runs on the (sw, 2sw) tile only — the wide
+    (sw, b) strip never enters it (cf. pallas_panel._strip_factor, whose
+    per-row reductions span the full b lanes)."""
+    two = 2 * sw
+    rows = jax.lax.broadcasted_iota(jnp.int32, (sw, two), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (sw, two), 1)
+    for r in range(sw):
+        cvec = jnp.sum(jnp.where(cols == r, T, 0.0), axis=1, keepdims=True)
+        rvec = jnp.sum(jnp.where(rows == r, T, 0.0), axis=0, keepdims=True)
+        pivot = jnp.sum(jnp.where(rows[:, :1] == r, cvec, 0.0))
+        s = jax.lax.rsqrt(pivot)
+        u1 = rvec * s
+        T = jnp.where(
+            rows == r, u1, jnp.where(rows > r, T - (cvec * s) * u1, T)
+        )
+    left, right = T[:, :sw], T[:, sw:]
+    sq_r = rows[:, :sw]
+    sq_c = cols[:, :sw]
+    U = jnp.where(sq_r <= sq_c, left, 0.0)
+    R = jnp.where(sq_r >= sq_c, right, 0.0)
+    return U, R
+
+
+def _strip_factor_wi(A, b, sw):
+    """(U, V) of one (b, b) SPD tile VALUE: A = U^T U, V = inv(U).
+
+    sw-strip schedule where each strip's serial elimination happens on the
+    augmented (sw, 2sw) head only (``_aug_head_factor``); the wide strip,
+    the trailing update, and the running inverse are GEMMs:
+
+      S       = rows j0..j0+sw of the updated A            (gather GEMM)
+      H       = S[:, j0:j0+sw]                             (gather GEMM)
+      U16, R  = aug-factor of [H | I]
+      U strip = R @ S   (columns >= j0; == inv(L16) [H B])
+      A      -= strip^T strip  (rows below, as before)
+      V rows  = [-R (G Vl), R]  with G = L[strip, :j0]     (2 GEMMs)
+
+    Returns upper U and upper V with V = inv(U); inv(L) = V^T."""
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    strip_rows = jax.lax.broadcasted_iota(jnp.int32, (sw, b), 0)
+    strip_cols = jax.lax.broadcasted_iota(jnp.int32, (sw, b), 1)
+    eye16 = (
+        jax.lax.broadcasted_iota(jnp.int32, (sw, sw), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (sw, sw), 1)
+    ).astype(A.dtype)
+
+    def body(jb, state):
+        A, Vl = state  # A: factored strips so far (rows < j0) + updated rest
+        j0 = jb * sw
+        # E (b, sw): one-hot columns selecting rows/cols j0..j0+sw
+        E = (
+            jax.lax.broadcasted_iota(jnp.int32, (b, sw), 0)
+            == j0 + jax.lax.broadcasted_iota(jnp.int32, (b, sw), 1)
+        ).astype(A.dtype)
+        S = jax.lax.dot_general(
+            E, A, (((0,), (0,)), ((), ())), preferred_element_type=A.dtype,
+            precision=_HI,
+        )  # (sw, b) strip rows
+        H = jax.lax.dot_general(
+            S, E, (((1,), (0,)), ((), ())), preferred_element_type=A.dtype,
+            precision=_HI,
+        )  # (sw, sw) head
+        U16, R = _aug_head_factor(
+            jnp.concatenate([H, eye16], axis=1), sw
+        )
+        strip = jax.lax.dot_general(
+            R, S, (((1,), (0,)), ((), ())), preferred_element_type=A.dtype,
+            precision=_HI,
+        )
+        del U16  # R @ S reproduces the head to HIGHEST-tier roundoff
+        # zero outside the factor's support: columns < j0, and the
+        # strict-lower of the head block (roundoff junk from R @ S)
+        keep = jnp.logical_and(
+            strip_cols >= j0, strip_cols - j0 >= strip_rows
+        )
+        strip = jnp.where(keep, strip, 0.0)
+        # trailing update (rows below the strip)
+        upd = jax.lax.dot_general(
+            strip, strip, (((0,), (0,)), ((), ())),
+            preferred_element_type=A.dtype, precision=_HI,
+        )
+        in_strip = jnp.logical_and(row_ids >= j0, row_ids < j0 + sw)
+        strip_full = jax.lax.dot_general(
+            E, strip, (((1,), (0,)), ((), ())), preferred_element_type=A.dtype,
+            precision=_HI,
+        )
+        A = jnp.where(in_strip, strip_full, A)
+        A = jnp.where(row_ids >= j0 + sw, A - upd, A)
+        # running inverse rows: Vl[strip] = [-R (G Vl), 0] + R at cols j0..
+        # G = L[strip, :j0] = U[:j0, strip]^T, gathered from factored A
+        G = jax.lax.dot_general(
+            E, A, (((0,), (1,)), ((), ())), preferred_element_type=A.dtype,
+            precision=_HI,
+        )  # (sw, b): G[r, c] = A[c, j0+r] == U[c, j0+r]
+        G = jnp.where(strip_cols < j0, G, 0.0)
+        T1 = jax.lax.dot_general(
+            G, Vl, (((1,), (0,)), ((), ())), preferred_element_type=A.dtype,
+            precision=_HI,
+        )
+        vrows = -jax.lax.dot_general(
+            R, T1, (((1,), (0,)), ((), ())), preferred_element_type=A.dtype,
+            precision=_HI,
+        )
+        r_placed = jax.lax.dot_general(
+            R, E, (((1,), (1,)), ((), ())), preferred_element_type=A.dtype,
+            precision=_HI,
+        )  # (sw, b) R at columns j0..
+        vrows = vrows + r_placed
+        vrows_full = jax.lax.dot_general(
+            E, vrows, (((1,), (0,)), ((), ())), preferred_element_type=A.dtype,
+            precision=_HI,
+        )
+        Vl = jnp.where(in_strip, vrows_full, Vl)
+        return A, Vl
+
+    U, Vl = jax.lax.fori_loop(
+        0, b // sw, body, (A, jnp.zeros((b, b), A.dtype))
+    )
+    U = jnp.where(row_ids <= col_ids, U, 0.0)
+    return U, Vl.T  # V = inv(U) upper
+
+
+def _factor_diag_wi(D, p, b, sw, scheme="aug"):
     """(L, W = inv(L)) of one (p, p) diagonal block VALUE.
 
     Blocked Crout over (b, b) sub-blocks: strip-factor + strip-inverse on
-    the diagonal (pallas_panel's rank-sw scheme), GEMM corrections and
-    inverse back-substitution everywhere else.  Input is lower-defined
-    (strict upper may be garbage: diagonal sub-blocks are mirrored, upper
-    sub-blocks never read).  All dots at HIGHEST — diagonal flops are
-    negligible and anchor the factorization's error."""
+    the diagonal (``scheme='aug'``: the augmented-head scheme of
+    ``_strip_factor_wi``; ``'strip'``: pallas_panel's wide-strip rank-sw
+    scheme), GEMM corrections and inverse back-substitution everywhere
+    else.  Input is lower-defined (strict upper may be garbage: diagonal
+    sub-blocks are mirrored, upper sub-blocks never read).  All dots at
+    HIGHEST — diagonal flops are negligible and anchor the factorization's
+    error."""
     nb = p // b
     A = [
         [D[i * b : (i + 1) * b, j * b : (j + 1) * b] for j in range(nb)]
@@ -107,8 +240,11 @@ def _factor_diag_wi(D, p, b, sw):
         S = A[k][k]
         for m in range(k):
             S = S - _dot(L[k][m], L[k][m], _NT)
-        U = _strip_factor(_mirror_lower(S, b), b, sw)
-        V = _inv_upper(U, b, sw)
+        if scheme == "aug":
+            U, V = _strip_factor_wi(_mirror_lower(S, b), b, sw)
+        else:
+            U = _strip_factor(_mirror_lower(S, b), b, sw)
+            V = _inv_upper(U, b, sw)
         L[k][k] = U.T
         W[k][k] = V.T
         for i in range(k + 1, nb):
@@ -180,10 +316,10 @@ def _gram_tile(xb, yb, y_hi, y_lo, yy, form, par, p):
 
 
 def _fused_kernel(
-    src_hbm, par_ref, o_hbm, s_hbm, p_buf, t_buf, r_buf, hl_buf, z16,
+    src_hbm, par_ref, o_hbm, s_hbm, p_buf, t_buf, r_buf, hl_buf,
     sem_in, sem_t, sem_r, sem_z, sem_o, sem_hl,
     *, n: int, p: int, b: int, sw: int, nc: int, h: int, g: int,
-    form: str | None, ablate: str,
+    form: str | None, ablate: str, scheme: str,
 ):
     j = pl.program_id(0)
     f32 = p_buf.dtype
@@ -204,10 +340,10 @@ def _fused_kernel(
             sem_hl.at[sl],
         )
 
-    def out_z16(c):  # zero packed chunk (shared read-only source)
-        return pltpu.make_async_copy(
-            z16, s_hbm.at[j, pl.ds(c * p, p), :], sem_z
-        )
+    # NOTE: the packed slab's strict-upper chunks (rows < j*p of slab j) are
+    # never written: later steps only read slab k at rows >= j*p with j > k
+    # (t_cp / r_start below), and the slab output is discarded by callers —
+    # zero-filling them cost ~0.5 GB of HBM writes per factorization.
 
     def in_cp(c):
         return pltpu.make_async_copy(
@@ -215,8 +351,6 @@ def _fused_kernel(
             p_buf.at[c],
             sem_in,
         )
-
-    z16[:] = jnp.zeros((p, 2 * p), bf16)
 
     # --- 1. panel strip in (only the rows this panel owns) -----------------
     if form is None:
@@ -237,10 +371,13 @@ def _fused_kernel(
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
 
         def fill(c, _):
-            val = _gram_tile(src_hbm[c], yb, y_hi, y_lo, yy, form, par_ref[:], p)
             gr = c * p + rows_i
             gc = j * p + cols_i
-            val = val + jnp.where(gr == gc, par_ref[0, 3], 0.0)
+            if ablate == "gram":  # timing ablation: skip the tile math
+                val = jnp.where(gr == gc, jnp.float32(1000.0), jnp.float32(0.01))
+            else:
+                val = _gram_tile(src_hbm[c], yb, y_hi, y_lo, yy, form, par_ref[:], p)
+                val = val + jnp.where(gr == gc, par_ref[0, 3], 0.0)
             p_buf[c] = val
             return 0
 
@@ -250,7 +387,6 @@ def _fused_kernel(
     def zbody(c, _):
         p_buf[c] = jnp.zeros((p, p), f32)
         out_cp(c, sem_z).start()
-        out_z16(c).start()
         return 0
 
     jax.lax.fori_loop(0, j, zbody, 0)
@@ -448,7 +584,7 @@ def _fused_kernel(
         Lb = [[D[0:b, 0:b] if i == m else jnp.zeros((b, b), f32) for m in range(nb)] for i in range(nb)]
         Wb = [[jnp.eye(b, dtype=f32) if i == m else jnp.zeros((b, b), f32) for m in range(nb)] for i in range(nb)]
     else:
-        Lb, Wb = _factor_diag_wi(D, p, b, sw)
+        Lb, Wb = _factor_diag_wi(D, p, b, sw, scheme)
     # write the factored blocks straight into the panel slot (no (p, p)
     # concat assembly — it materializes two full tiles per panel)
     zb = jnp.zeros((b, b), f32)
@@ -492,7 +628,6 @@ def _fused_kernel(
     # --- 6. drain (step j+1 reads column j back as update operands) --------
     def zwait(c, _):
         out_cp(c, sem_z).wait()
-        out_z16(c).wait()
         return 0
 
     jax.lax.fori_loop(0, j, zwait, 0)
@@ -512,16 +647,18 @@ def _fused_kernel(
 
 def _call_fused(
     src, par, n, dtype, *, panel, block, sw, chunk, group, form, interpret,
-    ablate,
+    ablate, scheme=None,
 ):
     nc = n // panel
     # single/few-panel matrices: the update stream's full-chunk DMA
     # descriptors span chunk*panel rows and are traced even when the
     # chunk loop never executes — clamp so they stay in bounds
     chunk = min(chunk, nc)
+    if scheme is None:
+        scheme = os.environ.get("GPR_FUSED_DIAG", "aug")
     kernel = functools.partial(
         _fused_kernel, n=n, p=panel, b=block, sw=sw, nc=nc, h=chunk,
-        g=group, form=form, ablate=ablate,
+        g=group, form=form, ablate=ablate, scheme=scheme,
     )
     itemsize = jnp.dtype(dtype).itemsize
     p, h, g = panel, chunk, group
@@ -529,7 +666,7 @@ def _call_fused(
         n * p * itemsize                    # p_buf
         + 2 * g * (h * p) * 2 * p * 2       # t_buf (bf16, hi|lo packed)
         + 2 * g * p * 2 * p * 2             # r_buf
-        + 2 * p * 2 * p * 2 + p * 2 * p * 2  # hl_buf + z16
+        + 2 * p * 2 * p * 2                 # hl_buf
         + 14 * p * p * itemsize             # diag-factor value blocks
         + (src.size * itemsize if form is not None else 0)  # features
     ) + (24 << 20)
@@ -551,7 +688,6 @@ def _call_fused(
             pltpu.VMEM((2, g, h * p, 2 * p), jnp.bfloat16),  # t_buf
             pltpu.VMEM((2, g, p, 2 * p), jnp.bfloat16),      # r_buf
             pltpu.VMEM((2, p, 2 * p), jnp.bfloat16),         # hl_buf
-            pltpu.VMEM((p, 2 * p), jnp.bfloat16),            # z16
             pltpu.SemaphoreType.DMA(()),                     # sem_in
             pltpu.SemaphoreType.DMA((2,)),                   # sem_t
             pltpu.SemaphoreType.DMA((2,)),                   # sem_r
@@ -575,7 +711,10 @@ def _call_fused(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("panel", "block", "sw", "chunk", "group", "interpret", "ablate"),
+    static_argnames=(
+        "panel", "block", "sw", "chunk", "group", "interpret", "ablate",
+        "diag_scheme",
+    ),
 )
 def cholesky_fused(
     A: jax.Array,
@@ -587,6 +726,7 @@ def cholesky_fused(
     group: int = 1,
     interpret: bool = False,
     ablate: str = "",
+    diag_scheme: str | None = None,
 ) -> jax.Array:
     """Lower Cholesky factor of SPD ``A`` — the whole factorization as a
     single pallas dispatch (see module docstring).
@@ -603,6 +743,7 @@ def cholesky_fused(
     return _call_fused(
         A, par, n, A.dtype, panel=panel, block=block, sw=sw, chunk=chunk,
         group=group, form=None, interpret=interpret, ablate=ablate,
+        scheme=diag_scheme,
     )
 
 
@@ -613,6 +754,7 @@ _GRAM_FORMS = ("gaussian", "rq", "matern12", "matern32", "matern52")
     jax.jit,
     static_argnames=(
         "form", "panel", "block", "sw", "chunk", "group", "interpret",
+        "ablate", "diag_scheme",
     ),
 )
 def gram_cholesky_fused(
@@ -629,6 +771,8 @@ def gram_cholesky_fused(
     chunk: int = 2,
     group: int = 1,
     interpret: bool = False,
+    ablate: str = "",
+    diag_scheme: str | None = None,
 ) -> jax.Array:
     """chol(K(X, X) + diag*I) in ONE pallas dispatch — the Gram matrix is
     never materialized in HBM: each panel strip is computed in VMEM from
@@ -659,7 +803,8 @@ def gram_cholesky_fused(
     par = par.at[0, 3].set(jnp.asarray(diag, jnp.float32))
     return _call_fused(
         X3, par, n, X.dtype, panel=panel, block=block, sw=sw, chunk=chunk,
-        group=group, form=form, interpret=interpret, ablate="",
+        group=group, form=form, interpret=interpret, ablate=ablate,
+        scheme=diag_scheme,
     )
 
 
