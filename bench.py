@@ -48,6 +48,42 @@ def _time_scalar_fn(make_fn, *args, repeats=8, iters=3):
     return max((tR - t1) / (repeats - 1), 1e-9)
 
 
+_FUSED_PROBE = """
+import jax, jax.numpy as jnp, numpy as np
+from gpr_tpu.utils import config as _cfg
+_cfg.set_matmul_precision("high")
+from gpr_tpu.ops.pallas_fullchol import gram_cholesky_fused
+n = 1024
+X = jnp.asarray(np.random.default_rng(1).standard_normal((n, 8)), jnp.float32)
+L = gram_cholesky_fused(X, 1.0, 1.0, 1.0, 0.1, form="gaussian")
+assert bool(jnp.isfinite(L[-1, -1]))
+print("PROBE_OK")
+"""
+
+
+def _probe_fused_schedule() -> bool:
+    """Run the fused Gram+Cholesky kernel once in a SUBPROCESS.
+
+    A Mosaic lowering bug aborts the whole process (SIGABRT — round 3's
+    BENCH_r03 recorded rc=1 and no number at all), so the probe must be
+    isolated.  On failure the bench falls back to the recursive schedule:
+    the headline degrades instead of vanishing."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gpr_tpu_jax_cache")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _FUSED_PROBE],
+            capture_output=True, text=True, timeout=600, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return proc.returncode == 0 and "PROBE_OK" in proc.stdout
+
+
 def main():
     import jax
 
@@ -74,7 +110,22 @@ def main():
     backend = jax.default_backend()
     on_accel = backend not in ("cpu",)
     n = int(os.environ.get("BENCH_N", 16384 if on_accel else 2048))
-    print(f"bench: backend={backend} n={n}", file=sys.stderr)
+
+    # Probe the default fused schedule in a subprocess before betting the
+    # round's number on it (a lowering abort is a SIGABRT and cannot be
+    # caught in-process).  Fallback: the recursive blocked schedule.
+    schedule = os.environ.get("GPR_CHOL_SCHEDULE", "fused")
+    if on_accel and schedule == "fused":
+        if not _probe_fused_schedule():
+            print(
+                "bench: fused-schedule probe FAILED — falling back to "
+                "GPR_CHOL_SCHEDULE=recursive",
+                file=sys.stderr,
+            )
+            schedule = "recursive"
+            os.environ["GPR_CHOL_SCHEDULE"] = "recursive"
+            os.environ["GPR_FIT_SCHEDULE"] = "twopass"
+    print(f"bench: backend={backend} n={n} schedule={schedule}", file=sys.stderr)
     d, q = 128, 8
     dtype = jnp.float32
 
@@ -164,6 +215,7 @@ def main():
                     "fit_seconds": round(t_fit, 5),
                     "matmul_peak_tflops": round(peak_tflops, 2),
                     "mxu_utilization": round(utilization, 4),
+                    "schedule": schedule,
                 },
             }
         )

@@ -102,9 +102,19 @@ def main():
 
         return mk
 
+    # hoisted: slope() calls make_chosolve twice — recomputing the fused
+    # factorization per call cost two extra ~1 min remote compiles
+    # (ADVICE.md round 3).  Computed lazily so other variants skip it.
+    _L0_cache = []
+
+    def _L0():
+        if not _L0_cache:
+            _L0_cache.append(gram_cholesky_fused(
+                X, 8.0, 1.0, 1.0, 0.01, form="gaussian", interpret=interp))
+        return _L0_cache[0]
+
     def make_chosolve(r):
-        L0 = gram_cholesky_fused(X, 8.0, 1.0, 1.0, 0.01, form="gaussian",
-                                 interpret=interp)
+        L0 = _L0()
 
         @jax.jit
         def f(L, Y):

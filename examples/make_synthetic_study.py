@@ -53,8 +53,33 @@ def make_study(root: str, n_frames: int = 50) -> None:
         )
 
 
+def make_dicom_data(root: str, n_frames: int = 24, n_slices: int = 1) -> None:
+    """Write a tiny synthetic DICOM acquisition into ``<root>/data`` so the
+    ``preprocessing`` stage (DICOM rename/fix/sort, reference
+    scripts/main.py:77-113) is runnable end-to-end — exercised by
+    ``examples/params/full_pipeline.yaml``."""
+    from gpr_tpu.data import dicom
+
+    rng = np.random.default_rng(1)
+    data_dir = os.path.join(root, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    for i in range(n_frames * n_slices):
+        img = np.clip(
+            127 + 80 * np.sin(2 * np.pi * i / 11.0) + rng.normal(0, 4, (16, 16)),
+            0, 255,
+        ).astype(np.uint8)
+        dicom.write_minimal_dicom(
+            os.path.join(data_dir, f"IM{i:05d}.dcm"),
+            instance_number=i + 1,
+            series_number=1,
+            acquisition_number=1 + i % n_slices,
+            pixel_data=img,
+        )
+
+
 if __name__ == "__main__":
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gpr_tpu_study"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     make_study(root, n)
+    make_dicom_data(root)
     print(f"synthetic study written to {root} ({n} frames)")

@@ -67,6 +67,23 @@ from .pallas_panel import _strip_factor, _inv_upper
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _default_diag_scheme() -> str:
+    """Diagonal-factor scheme when the caller passes ``diag_scheme=None``.
+
+    'strip' is the round-3 measured-good config (39.3 TF/s headline,
+    commit 529bd33).  The 'aug' augmented-head scheme aborted the chip the
+    one time it ran as default (round-3 postmortem: Mosaic
+    ``Check failed: limits[i] <= dim(i) (2 vs. 1)``, BENCH_r03) — it stays
+    opt-in until an on-chip A/B (benchmarks/chip_smoke.py fused) passes
+    AND measures faster.
+
+    NOTE: the env var is resolved HERE, in the non-jitted entry wrappers,
+    so it is honored per-call — but a jit cache keyed on the resolved
+    scheme means flipping the var mid-process gives a fresh compile, not a
+    silent no-op (ADVICE.md round 3)."""
+    return os.environ.get("GPR_FUSED_DIAG", "strip")
+
+
 def _rem2(i):
     # literal 2 in the loop-index dtype (x64 mode would promote to int64)
     return jax.lax.rem(i, jnp.asarray(2, i.dtype))
@@ -97,14 +114,29 @@ def _aug_head_factor(T, sw):
     half L^T and tracks M = L^{-1} in the right half (M H = L^T).  The
     serial dependency chain runs on the (sw, 2sw) tile only — the wide
     (sw, b) strip never enters it (cf. pallas_panel._strip_factor, whose
-    per-row reductions span the full b lanes)."""
+    per-row reductions span the full b lanes).
+
+    Mosaic note: every intermediate stays (sw, 2sw)-shaped.  The original
+    formulation extracted the pivot column/row as (sw, 1)/(1, 2sw) masked
+    reductions, which ABORTS the chip inside Mosaic's relayout machinery
+    (`Check failed: limits[i] <= dim(i) (2 vs. 1)`, BENCH_r03 postmortem;
+    reproduced at n=1024 by benchmarks/chip_smoke.py fused_*_aug).  The
+    broadcast column/row are instead produced by one-hot MATMULS:
+    T @ R_r gives T[:, r] replicated across all 2sw lanes, P_r @ T gives
+    row r replicated down all sw sublanes — full-tile ops end to end."""
     two = 2 * sw
     rows = jax.lax.broadcasted_iota(jnp.int32, (sw, two), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (sw, two), 1)
+    rows_sq = jax.lax.broadcasted_iota(jnp.int32, (two, two), 0)
+    cols_p = jax.lax.broadcasted_iota(jnp.int32, (sw, sw), 1)
     for r in range(sw):
-        cvec = jnp.sum(jnp.where(cols == r, T, 0.0), axis=1, keepdims=True)
-        rvec = jnp.sum(jnp.where(rows == r, T, 0.0), axis=0, keepdims=True)
-        pivot = jnp.sum(jnp.where(rows[:, :1] == r, cvec, 0.0))
+        # R_r (2sw, 2sw): row r all-ones => (T @ R_r)[i, k] = T[i, r]
+        Rr = jnp.where(rows_sq == r, jnp.ones((), T.dtype), 0.0)
+        cvec = _dot(T, Rr, _NN)  # (sw, 2sw), column r broadcast over lanes
+        # P_r (sw, sw): column r all-ones => (P_r @ T)[i, k] = T[r, k]
+        Pr = jnp.where(cols_p == r, jnp.ones((), T.dtype), 0.0)
+        rvec = _dot(Pr, T, _NN)  # (sw, 2sw), row r broadcast over sublanes
+        pivot = jnp.sum(jnp.where((rows == r) & (cols == r), T, 0.0))
         s = jax.lax.rsqrt(pivot)
         u1 = rvec * s
         T = jnp.where(
@@ -655,7 +687,7 @@ def _call_fused(
     # chunk loop never executes — clamp so they stay in bounds
     chunk = min(chunk, nc)
     if scheme is None:
-        scheme = os.environ.get("GPR_FUSED_DIAG", "aug")
+        scheme = _default_diag_scheme()
     kernel = functools.partial(
         _fused_kernel, n=n, p=panel, b=block, sw=sw, nc=nc, h=chunk,
         g=group, form=form, ablate=ablate, scheme=scheme,
@@ -716,6 +748,32 @@ def _call_fused(
         "diag_scheme",
     ),
 )
+def _cholesky_fused_jit(
+    A: jax.Array,
+    *,
+    panel: int = 512,
+    block: int = 256,
+    sw: int = 16,
+    chunk: int = 2,
+    group: int = 1,
+    interpret: bool = False,
+    ablate: str = "",
+    diag_scheme: str = "strip",
+) -> jax.Array:
+    n = A.shape[0]
+    if A.ndim != 2 or A.shape != (n, n) or n % panel or panel % block:
+        raise ValueError(
+            f"cholesky_fused: shape {A.shape} must be (n, n) with "
+            f"n % {panel} == 0 and panel % {block} == 0"
+        )
+    par = jnp.zeros((1, 8), jnp.float32)  # unused in matrix mode
+    return _call_fused(
+        A, par, n, A.dtype, panel=panel, block=block, sw=sw, chunk=chunk,
+        group=group, form=None, interpret=interpret, ablate=ablate,
+        scheme=diag_scheme,
+    )
+
+
 def cholesky_fused(
     A: jax.Array,
     *,
@@ -732,18 +790,15 @@ def cholesky_fused(
     single pallas dispatch (see module docstring).
 
     ``A``: (n, n) f32 with n a multiple of ``panel``; only the lower
-    triangle is read.  Returns L with exact-zero strict upper."""
-    n = A.shape[0]
-    if A.ndim != 2 or A.shape != (n, n) or n % panel or panel % block:
-        raise ValueError(
-            f"cholesky_fused: shape {A.shape} must be (n, n) with "
-            f"n % {panel} == 0 and panel % {block} == 0"
-        )
-    par = jnp.zeros((1, 8), jnp.float32)  # unused in matrix mode
-    return _call_fused(
-        A, par, n, A.dtype, panel=panel, block=block, sw=sw, chunk=chunk,
-        group=group, form=None, interpret=interpret, ablate=ablate,
-        scheme=diag_scheme,
+    triangle is read.  Returns L with exact-zero strict upper.
+
+    ``diag_scheme=None`` resolves GPR_FUSED_DIAG here (outside jit), so
+    the env var is honored per-call."""
+    if diag_scheme is None:
+        diag_scheme = _default_diag_scheme()
+    return _cholesky_fused_jit(
+        A, panel=panel, block=block, sw=sw, chunk=chunk, group=group,
+        interpret=interpret, ablate=ablate, diag_scheme=diag_scheme,
     )
 
 
@@ -757,7 +812,7 @@ _GRAM_FORMS = ("gaussian", "rq", "matern12", "matern32", "matern52")
         "ablate", "diag_scheme",
     ),
 )
-def gram_cholesky_fused(
+def _gram_cholesky_fused_jit(
     X: jax.Array,
     sigma,
     scale,
@@ -772,7 +827,7 @@ def gram_cholesky_fused(
     group: int = 1,
     interpret: bool = False,
     ablate: str = "",
-    diag_scheme: str | None = None,
+    diag_scheme: str = "strip",
 ) -> jax.Array:
     """chol(K(X, X) + diag*I) in ONE pallas dispatch — the Gram matrix is
     never materialized in HBM: each panel strip is computed in VMEM from
@@ -805,6 +860,36 @@ def gram_cholesky_fused(
         X3, par, n, X.dtype, panel=panel, block=block, sw=sw, chunk=chunk,
         group=group, form=form, interpret=interpret, ablate=ablate,
         scheme=diag_scheme,
+    )
+
+
+def gram_cholesky_fused(
+    X: jax.Array,
+    sigma,
+    scale,
+    third,
+    diag,
+    *,
+    form: str = "gaussian",
+    panel: int = 512,
+    block: int = 256,
+    sw: int = 16,
+    chunk: int = 2,
+    group: int = 1,
+    interpret: bool = False,
+    ablate: str = "",
+    diag_scheme: str | None = None,
+) -> jax.Array:
+    """Public wrapper of the fused Gram+Cholesky kernel; see
+    ``_gram_cholesky_fused_jit``.  ``diag_scheme=None`` resolves
+    GPR_FUSED_DIAG here (outside jit), so the env var is honored
+    per-call."""
+    if diag_scheme is None:
+        diag_scheme = _default_diag_scheme()
+    return _gram_cholesky_fused_jit(
+        X, sigma, scale, third, diag, form=form, panel=panel, block=block,
+        sw=sw, chunk=chunk, group=group, interpret=interpret, ablate=ablate,
+        diag_scheme=diag_scheme,
     )
 
 

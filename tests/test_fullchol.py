@@ -68,6 +68,20 @@ class TestMatrixMode:
         assert np.abs(L - Lr).max() / scale < 3e-3  # bf16x3 tier
         assert np.all(np.triu(L, 1) == 0.0)  # exact-zero strict upper
 
+    def test_aug_diag_scheme_matches_numpy(self, rng):
+        # the augmented-head diagonal scheme (GPR_FUSED_DIAG=aug): full-tile
+        # one-hot-matmul formulation (the original (sw,1)/(1,2sw) masked
+        # reductions aborted Mosaic on-chip — BENCH_r03 postmortem)
+        n = 256
+        A = _spd(rng, n)
+        L = np.asarray(cholesky_fused(
+            jnp.asarray(A), panel=128, block=64, sw=16, chunk=2,
+            interpret=True, diag_scheme="aug",
+        ))
+        Lr = np.linalg.cholesky(A.astype(np.float64))
+        assert np.abs(L - Lr).max() / np.abs(Lr).max() < 3e-3
+        assert np.all(np.triu(L, 1) == 0.0)
+
     def test_failed_pivot_poisons_last_diagonal(self, rng):
         A = _spd(rng, 256)
         A[3, 3] = -1e6  # non-positive pivot early in the first panel
