@@ -142,11 +142,14 @@ def _aug_head_factor(T, sw):
         T = jnp.where(
             rows == r, u1, jnp.where(rows > r, T - (cvec * s) * u1, T)
         )
-    left, right = T[:, :sw], T[:, sw:]
-    sq_r = rows[:, :sw]
-    sq_c = cols[:, :sw]
-    U = jnp.where(sq_r <= sq_c, left, 0.0)
-    R = jnp.where(sq_r >= sq_c, right, 0.0)
+    # (sw, sw) masks built as FRESH iotas — slicing the (sw, 2sw) iota
+    # (`rows[:, :sw]`) is the construct that aborts Mosaic's relayout
+    # (`Check failed: limits[i] <= dim(i) (2 vs. 1)`; micro-bisected
+    # round 4: value slices are fine, iota slices are not)
+    sq_r = jax.lax.broadcasted_iota(jnp.int32, (sw, sw), 0)
+    sq_c = jax.lax.broadcasted_iota(jnp.int32, (sw, sw), 1)
+    U = jnp.where(sq_r <= sq_c, T[:, :sw], 0.0)
+    R = jnp.where(sq_r >= sq_c, T[:, sw:], 0.0)
     return U, R
 
 

@@ -65,24 +65,37 @@ def sharded_gram(kernel, X, mesh: Mesh, axis: str = "data") -> jax.Array:
 def _chol_panels(K_local, *, axis: str, D: int, nb: int):
     """SPMD body: block-row distributed right-looking Cholesky.
 
-    K_local: (nb, n) — this device's rows.  Returns L_local (nb, n)."""
+    K_local: (nb, n) — this device's rows.  Returns L_local (nb, n).
+
+    Owner-rows schedule (round 4; the round-3 version all_gathered the RAW
+    column block and every device solved the FULL below-panel — O(n nb^2)
+    replicated work): each device solves only its OWN (nb, nb) row block
+    against Lkk, then the SOLVED panel is all_gathered for the trailing
+    update.  Per panel: one (nb, nb) psum (diagonal block broadcast) + one
+    (n, nb) all_gather (same volume as the old raw-column gather).
+    Replicated flops drop to the (nb^3)/3 diagonal factorization; the
+    (n, nb) gathered buffer itself is inherent to a right-looking
+    trailing update (every device needs all solved rows below k)."""
+    my = lax.axis_index(axis)
     panels = []
     A = K_local
     for k in range(D):
-        C_local = A[:, k * nb : (k + 1) * nb]  # (nb, nb)
-        C = lax.all_gather(C_local, axis, tiled=True)  # (n, nb) replicated
-        Lkk = cholesky_blocked(C[k * nb : (k + 1) * nb, :])
-        # full panel: rows above the diagonal block are zero, the diagonal
-        # block is Lkk, rows below are C_below Lkk^-T
-        below = solve_triangular_blocked(Lkk, C[(k + 1) * nb :, :].T).T
-        panel = jnp.concatenate(
-            [jnp.zeros((k * nb, nb), C.dtype), Lkk, below], axis=0
-        )  # (n, nb)
-        my = lax.axis_index(axis)
-        panel_local = lax.dynamic_slice_in_dim(panel, my * nb, nb, axis=0)
+        C_local = A[:, k * nb : (k + 1) * nb]  # (nb, nb) own rows, col k
+        # diagonal block: owner's rows, replicated via masked psum
+        Ckk = lax.psum(
+            jnp.where(my == k, C_local, jnp.zeros_like(C_local)), axis
+        )
+        Lkk = cholesky_blocked(Ckk)  # (nb, nb), replicated O(nb^3/3)
+        # own rows of the panel: C_local Lkk^-T (valid below the diagonal;
+        # masked to Lkk on the owner and zeros above)
+        solved = solve_triangular_blocked(Lkk, C_local.T).T
+        panel_local = jnp.where(
+            my == k, Lkk, jnp.where(my > k, solved, jnp.zeros_like(solved))
+        )
         panels.append(panel_local)
         # trailing update on local rows, remaining columns only
         if k + 1 < D:
+            panel = lax.all_gather(panel_local, axis, tiled=True)  # (n, nb)
             right = panel[(k + 1) * nb :, :]  # (n - (k+1) nb, nb)
             upd = jnp.matmul(
                 panel_local, right.T, preferred_element_type=A.dtype,
