@@ -59,6 +59,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -151,6 +152,162 @@ def _aug_head_factor(T, sw):
     U = jnp.where(sq_r <= sq_c, T[:, :sw], 0.0)
     R = jnp.where(sq_r >= sq_c, T[:, sw:], 0.0)
     return U, R
+
+
+def _triu_inv_rec(U, b):
+    """inv(U) for upper-triangular (b, b) U by recursive doubling — ZERO
+    serial pivot chain (the replaced ``pallas_panel._inv_upper`` sweep ran
+    b serial back-substitution rows; at ~0.85 us per serial row that
+    sweep was ~half the measured 13.9 ms diagonal-factor cost at n=16k).
+
+    Level m: D holds the inverses of all m-blocks (block-diagonal).  For
+    each 2m-block [[A, C], [0, B]], inv = [[A^-1, -A^-1 C B^-1], [0,
+    B^-1]]; all sibling products at a level are computed AT ONCE by two
+    full-tile masked GEMMs (D C D is nonzero exactly at the C positions).
+    log2(b) levels x 2 HIGHEST dots — pure MXU work.
+
+    Base case: 1-blocks, D0 = diag(1/U_ii)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    eye = rows == cols
+    D = jnp.where(eye, 1.0 / jnp.where(eye, U, 1.0), 0.0)
+    m = 1
+    while m < b:
+        rb = rows // m
+        cb = cols // m
+        cmask = jnp.logical_and(rb % 2 == 0, cb == rb + 1)
+        C = jnp.where(cmask, U, 0.0)
+        P = _dot(_dot(D, C, _NN), D, _NN)
+        D = D - jnp.where(cmask, P, 0.0)
+        m *= 2
+    return D
+
+
+def _strip_factor_static(A, b, sw):
+    """U = chol(A)^T for a (b, b) SPD tile VALUE — pallas_panel's strip
+    scheme with the outer strip loop PYTHON-UNROLLED so every mask,
+    one-hot gather, and lane select is a compile-time CONSTANT.  The
+    fori_loop version re-derives each mask from the traced strip index
+    every iteration (~6 dependent vector ops per serial pivot measured
+    ~0.85 us at n=16k — the dominant cost of the fused kernel's diagonal
+    factor); constants take mask generation off the serial chain."""
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+    sub_s = jax.lax.broadcasted_iota(jnp.int32, (sw, 1), 0)
+    e_rows = jax.lax.broadcasted_iota(jnp.int32, (b, sw), 0)
+    e_cols = jax.lax.broadcasted_iota(jnp.int32, (b, sw), 1)
+
+    for jb in range(b // sw):
+        j0 = jb * sw  # python int: every comparison below is vs a constant
+        E = (e_rows == e_cols + j0).astype(A.dtype)  # (b, sw) one-hot
+        strip = jax.lax.dot_general(
+            E, A, (((0,), (0,)), ((), ())), preferred_element_type=A.dtype,
+            precision=_HI,
+        )  # (sw, b)
+        # Critical serial chain per pivot (4 dependent stages): masked
+        # reduce -> reciprocal -> scaled outer product -> subtract.  The
+        # scaled factor row u = row * rsqrt(pivot) feeds ONLY the deferred
+        # row accumulator U_acc (nothing downstream depends on it), so the
+        # rsqrt and the row placement sit OFF the chain; the elimination
+        # uses raw row/column with 1/pivot.
+        U_acc = jnp.zeros_like(strip)
+        for r in range(sw):
+            j = j0 + r
+            row = strip[r : r + 1, :]  # static slice
+            onej = (lane_s == j).astype(A.dtype)
+            rowm = row * (lane_s >= j).astype(A.dtype)
+            pivot = jnp.sum(row * onej)
+            c = jnp.sum(strip * onej, axis=1, keepdims=True)  # (sw, 1) raw
+            strip = strip - (
+                (c * (sub_s > r).astype(A.dtype)) / pivot
+            ) * rowm
+            u = rowm * jax.lax.rsqrt(pivot)  # off-chain
+            U_acc = U_acc + u * (sub_s == r).astype(A.dtype)
+        strip = U_acc
+        in_strip = jnp.logical_and(row_ids >= j0, row_ids < j0 + sw)
+        strip_full = jax.lax.dot_general(
+            E, strip, (((1,), (0,)), ((), ())), preferred_element_type=A.dtype,
+            precision=_HI,
+        )
+        A = jnp.where(in_strip, strip_full, A)
+        upd = jax.lax.dot_general(
+            strip, strip, (((0,), (0,)), ((), ())),
+            preferred_element_type=A.dtype, precision=_HI,
+        )
+        A = jnp.where(row_ids >= j0 + sw, A - upd, A)
+    cols_b = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    return jnp.where(row_ids <= cols_b, A, 0.0)
+
+
+def _head_strip_factor(A, b, sw):
+    """U = chol(A)^T via head-GEMM strips: only the (sw, sw) HEAD of each
+    strip is eliminated serially — per-pivot lane reductions span sw=16
+    lanes instead of b=256 (the strip scheme's reduces over b lanes are
+    ~8 shuffle steps each and dominate the measured ~0.85 us/pivot) — and
+    the wide strip is produced by ONE GEMM against the head's recursive-
+    doubling inverse (zero extra serial work):
+
+      S    = strip rows (one-hot GEMM gather)
+      H    = S E (the sw x sw head)
+      U16  = serial elimination of H on (sw, sw) tiles, static masks
+      R    = inv(U16)            (``_triu_inv_rec``, log2(sw) dot levels)
+      strip= R^T S  (= inv(L16) S)  masked to the factor's support
+      A   -= strip^T strip below  (unchanged trailing update)
+    """
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    e_rows = jax.lax.broadcasted_iota(jnp.int32, (b, sw), 0)
+    e_cols = jax.lax.broadcasted_iota(jnp.int32, (b, sw), 1)
+    lane16 = jax.lax.broadcasted_iota(jnp.int32, (1, sw), 1)
+    sub16 = jax.lax.broadcasted_iota(jnp.int32, (sw, 1), 0)
+    strip_cols = jax.lax.broadcasted_iota(jnp.int32, (sw, b), 1)
+    strip_rows = jax.lax.broadcasted_iota(jnp.int32, (sw, b), 0)
+
+    for jb in range(b // sw):
+        j0 = jb * sw
+        E = (e_rows == e_cols + j0).astype(A.dtype)  # (b, sw) one-hot
+        S = jax.lax.dot_general(
+            E, A, (((0,), (0,)), ((), ())), preferred_element_type=A.dtype,
+            precision=_HI,
+        )  # (sw, b)
+        H = jax.lax.dot_general(
+            S, E, (((1,), (0,)), ((), ())), preferred_element_type=A.dtype,
+            precision=_HI,
+        )  # (sw, sw), symmetric
+        for r in range(sw):
+            hrow = H[r : r + 1, :]  # (1, sw) static slice
+            oner = (lane16 == r).astype(A.dtype)
+            pivot = jnp.sum(hrow * oner)
+            inv = jax.lax.rsqrt(pivot)
+            u = (hrow * inv) * (lane16 >= r).astype(A.dtype)
+            c = jnp.sum(H * oner, axis=1, keepdims=True) * inv  # (sw, 1)
+            H = H - (c * (sub16 > r).astype(A.dtype)) * u
+            keep = (sub16 != r).astype(A.dtype)
+            H = H * keep + u * (1.0 - keep)
+        # H now holds U16 (upper);  R = inv(U16) via pure-GEMM doubling
+        R = _triu_inv_rec(H, sw)
+        # factored strip rows: inv(L16) S = R^T S
+        strip = jax.lax.dot_general(
+            R, S, (((0,), (0,)), ((), ())), preferred_element_type=A.dtype,
+            precision=_HI,
+        )  # (sw, b)
+        # support mask: cols >= j0, head part upper-triangular
+        keep = jnp.logical_and(
+            strip_cols >= j0, strip_cols - j0 >= strip_rows
+        )
+        strip = jnp.where(keep, strip, 0.0)
+        in_strip = jnp.logical_and(row_ids >= j0, row_ids < j0 + sw)
+        strip_full = jax.lax.dot_general(
+            E, strip, (((1,), (0,)), ((), ())), preferred_element_type=A.dtype,
+            precision=_HI,
+        )
+        A = jnp.where(in_strip, strip_full, A)
+        upd = jax.lax.dot_general(
+            strip, strip, (((0,), (0,)), ((), ())),
+            preferred_element_type=A.dtype, precision=_HI,
+        )
+        A = jnp.where(row_ids >= j0 + sw, A - upd, A)
+    cols_b = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    return jnp.where(row_ids <= cols_b, A, 0.0)
 
 
 def _strip_factor_wi(A, b, sw):
@@ -277,6 +434,21 @@ def _factor_diag_wi(D, p, b, sw, scheme="aug"):
             S = S - _dot(L[k][m], L[k][m], _NT)
         if scheme == "aug":
             U, V = _strip_factor_wi(_mirror_lower(S, b), b, sw)
+        elif scheme == "rv":
+            # strip factor (the measured-fast serial sweep) + recursive-
+            # doubling inverse (pure MXU, no serial back-substitution)
+            U = _strip_factor(_mirror_lower(S, b), b, sw)
+            V = _triu_inv_rec(U, b)
+        elif scheme == "stat":
+            # static-unrolled strips (constant masks off the serial
+            # chain) + recursive-doubling inverse
+            U = _strip_factor_static(_mirror_lower(S, b), b, sw)
+            V = _triu_inv_rec(U, b)
+        elif scheme == "head":
+            # serial elimination confined to (sw, sw) heads; wide strips
+            # via GEMM vs the head inverse; V by recursive doubling
+            U = _head_strip_factor(_mirror_lower(S, b), b, sw)
+            V = _triu_inv_rec(U, b)
         else:
             U = _strip_factor(_mirror_lower(S, b), b, sw)
             V = _inv_upper(U, b, sw)

@@ -82,6 +82,35 @@ class TestMatrixMode:
         assert np.abs(L - Lr).max() / np.abs(Lr).max() < 3e-3
         assert np.all(np.triu(L, 1) == 0.0)
 
+    @pytest.mark.parametrize("scheme", ["rv", "stat", "head"])
+    def test_alt_diag_schemes_match_numpy(self, rng, scheme):
+        # alternative diagonal-factor schemes (GPR_FUSED_DIAG):
+        #   rv    strip factor + recursive-doubling inverse
+        #   stat  static-unrolled strips + recursive-doubling inverse
+        #   head  (sw, sw)-head-only serial elimination + GEMM strips
+        n = 256
+        A = _spd(rng, n)
+        L = np.asarray(cholesky_fused(
+            jnp.asarray(A), panel=128, block=64, sw=16, chunk=2,
+            interpret=True, diag_scheme=scheme,
+        ))
+        Lr = np.linalg.cholesky(A.astype(np.float64))
+        assert np.abs(L - Lr).max() / np.abs(Lr).max() < 3e-3
+        assert np.all(np.triu(L, 1) == 0.0)
+
+    def test_triu_inv_rec_exact(self, rng):
+        import jax
+
+        from gpr_tpu.ops.pallas_fullchol import _triu_inv_rec
+
+        for b in (64, 128):
+            B = rng.standard_normal((b, b)).astype(F32)
+            U = np.triu(B @ B.T + b * np.eye(b, dtype=F32))
+            V = np.asarray(jax.jit(
+                lambda u, b=b: _triu_inv_rec(u, b))(jnp.asarray(U)))
+            assert np.abs(V @ U - np.eye(b)).max() < 1e-5
+            assert np.all(np.tril(V, -1) == 0.0)
+
     def test_failed_pivot_poisons_last_diagonal(self, rng):
         A = _spd(rng, 256)
         A[3, 3] = -1e6  # non-positive pivot early in the first panel
