@@ -77,6 +77,25 @@ L = gram_cholesky_fused(X, 1.0, 1.0, 1.0, 0.1, form="gaussian",
 assert bool(jnp.isfinite(L[-1, -1])), "NaN tail"
 print("PROBE_OK")
 """,
+    "fused_matrix_stat": _COMMON + """
+from gpr_tpu.ops.pallas_fullchol import cholesky_fused
+n = 1024
+a = jnp.asarray(np.random.default_rng(0).standard_normal((n, 64)), jnp.float32)
+A = a @ a.T + n * jnp.eye(n, dtype=jnp.float32)
+L = cholesky_fused(A, diag_scheme="stat")
+err = float(jnp.max(jnp.abs(jnp.tril(L @ L.T) - jnp.tril(A))))
+assert err < 1e-2 * n, err
+print("PROBE_OK")
+""",
+    "fused_gram_stat": _COMMON + """
+from gpr_tpu.ops.pallas_fullchol import gram_cholesky_fused
+n, d = 1024, 8
+X = jnp.asarray(np.random.default_rng(1).standard_normal((n, d)), jnp.float32)
+L = gram_cholesky_fused(X, 1.0, 1.0, 1.0, 0.1, form="gaussian",
+                        diag_scheme="stat")
+assert bool(jnp.isfinite(L[-1, -1])), "NaN tail"
+print("PROBE_OK")
+""",
     # the full public fit() route (whatever defaults dispatch selects)
     "public_fit_default": _COMMON + """
 from gpr_tpu.gp import exact

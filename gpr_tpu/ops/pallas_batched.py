@@ -78,6 +78,18 @@ def _crout_sweep(S0, g: int, b: int, with_w: bool = True):
         piv = jnp.sum(jnp.where(rows == j, colr, 0.0), axis=1, keepdims=True)
         rd = lax.rsqrt(jnp.maximum(piv, 0.0))
         below = rows >= j  # includes the pivot row
+        if not with_w:
+            # S's serial chain kept to 4 dependent stages: reduce ->
+            # reduce -> reciprocal -> scaled outer subtract.  The rsqrt
+            # and the L column write hang OFF the chain (nothing in the
+            # next iteration's S reads them).  1/max(piv, 0) preserves
+            # the failure contract: a non-positive pivot gives inf ->
+            # NaN in both S and L.
+            inv = 1.0 / jnp.maximum(piv, 0.0)
+            colu_raw = jnp.where(rows > j, colr, 0.0)
+            S = S - (colu_raw * inv) * colu_raw.transpose(0, 2, 1)
+            L = jnp.where(colmask, jnp.where(below, colr * rd, 0.0), L)
+            return S, L, W
         colj = jnp.where(below, colr * rd, 0.0)
         # write column j of L (lane select keeps shapes static)
         L = jnp.where(colmask, colj, L)
@@ -85,8 +97,6 @@ def _crout_sweep(S0, g: int, b: int, with_w: bool = True):
         # <= j are untouched and the next pivot reads updated data
         colu = jnp.where(rows > j, colj, 0.0)
         S = S - colu * colu.transpose(0, 2, 1)
-        if not with_w:
-            return S, L, W
         # inverse, forward substitution: row j of W is
         #   W[j, :j] = -(L[j, :j] @ W[:j, :j]) / L[j, j]
         #   W[j, j]  = 1 / L[j, j]

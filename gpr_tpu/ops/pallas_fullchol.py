@@ -71,18 +71,19 @@ _HI = jax.lax.Precision.HIGHEST
 def _default_diag_scheme() -> str:
     """Diagonal-factor scheme when the caller passes ``diag_scheme=None``.
 
-    'strip' is the round-3 measured-good config (39.3 TF/s headline,
-    commit 529bd33).  The 'aug' augmented-head scheme aborted the chip the
-    one time it ran as default (round-3 postmortem: Mosaic
-    ``Check failed: limits[i] <= dim(i) (2 vs. 1)``, BENCH_r03) — it stays
-    opt-in until an on-chip A/B (benchmarks/chip_smoke.py fused) passes
-    AND measures faster.
+    'stat' is the round-4 measured winner (paired on-chip slope A/Bs at
+    n=16k, gram mode): strip 35.6 / rv 35.0 / head 35.5 / **stat 33.4** —
+    static-unrolled strips (constant masks), a 4-stage per-pivot serial
+    chain (rsqrt + row placement deferred off-chain), and the V sweep as
+    a recursive-doubling pure-GEMM inverse.  'strip' is the round-3
+    config; 'aug' (augmented heads) measured equal to strip after its
+    Mosaic iota-slice abort was fixed — both stay as opt-ins.
 
     NOTE: the env var is resolved HERE, in the non-jitted entry wrappers,
     so it is honored per-call — but a jit cache keyed on the resolved
     scheme means flipping the var mid-process gives a fresh compile, not a
     silent no-op (ADVICE.md round 3)."""
-    return os.environ.get("GPR_FUSED_DIAG", "strip")
+    return os.environ.get("GPR_FUSED_DIAG", "stat")
 
 
 def _rem2(i):
