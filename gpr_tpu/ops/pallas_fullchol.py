@@ -929,7 +929,7 @@ def _cholesky_fused_jit(
     *,
     panel: int = 512,
     block: int = 256,
-    sw: int = 16,
+    sw: int = 32,
     chunk: int = 2,
     group: int = 1,
     interpret: bool = False,
@@ -955,7 +955,7 @@ def cholesky_fused(
     *,
     panel: int = 512,
     block: int = 256,
-    sw: int = 16,
+    sw: int = 32,
     chunk: int = 2,
     group: int = 1,
     interpret: bool = False,
@@ -998,7 +998,7 @@ def _gram_cholesky_fused_jit(
     form: str = "gaussian",
     panel: int = 512,
     block: int = 256,
-    sw: int = 16,
+    sw: int = 32,
     chunk: int = 2,
     group: int = 1,
     interpret: bool = False,
@@ -1049,7 +1049,7 @@ def gram_cholesky_fused(
     form: str = "gaussian",
     panel: int = 512,
     block: int = 256,
-    sw: int = 16,
+    sw: int = 32,
     chunk: int = 2,
     group: int = 1,
     interpret: bool = False,
@@ -1081,7 +1081,7 @@ def safe_gram_cholesky_fused(
     max_tries: int = 6,
     panel: int = 512,
     block: int = 256,
-    sw: int = 16,
+    sw: int = 32,
     interpret: bool = False,
 ):
     """(L, jitter_used) with jitter escalation, entirely on the fused
