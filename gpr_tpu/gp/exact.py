@@ -367,11 +367,15 @@ def fit(
                 and linalg._chol_schedule() == "fused"
                 and os.environ.get("GPR_FIT_SCHEDULE", "fused") == "fused"
             ):
-                L, _ = pallas_fullchol.safe_gram_cholesky_fused(
+                # the kernel emits the panel-diagonal inverses alongside L,
+                # so the regression solve is two block-GEMM substitution
+                # sweeps (cho_solve_panels) instead of the blocked
+                # triangular solves (−~1 ms inside fit at n=16k)
+                L, W, _ = pallas_fullchol.safe_gram_cholesky_fused(
                     X, sg, sc, third, noise,
-                    form=form, initial_jitter=jitter,
+                    form=form, initial_jitter=jitter, return_winv=True,
                 )
-                alpha = linalg.cho_solve(L, Y)
+                alpha = pallas_fullchol.cho_solve_panels(L, W, Y)
                 return GP(
                     kernel=kernel,
                     X=X,

@@ -524,11 +524,16 @@ def _gram_tile(xb, yb, y_hi, y_lo, yy, form, par, p):
 
 
 def _fused_kernel(
-    src_hbm, par_ref, o_hbm, s_hbm, p_buf, t_buf, r_buf, hl_buf,
-    sem_in, sem_t, sem_r, sem_z, sem_o, sem_hl,
-    *, n: int, p: int, b: int, sw: int, nc: int, h: int, g: int,
-    form: str | None, ablate: str, scheme: str,
+    src_hbm, par_ref, o_hbm, s_hbm, *rest,
+    n: int, p: int, b: int, sw: int, nc: int, h: int, g: int,
+    form: str | None, ablate: str, scheme: str, with_w: bool,
 ):
+    if with_w:
+        (w_hbm, p_buf, t_buf, r_buf, hl_buf, w_buf,
+         sem_in, sem_t, sem_r, sem_z, sem_o, sem_hl, sem_w) = rest
+    else:
+        (p_buf, t_buf, r_buf, hl_buf,
+         sem_in, sem_t, sem_r, sem_z, sem_o, sem_hl) = rest
     j = pl.program_id(0)
     f32 = p_buf.dtype
     bf16 = jnp.bfloat16
@@ -802,6 +807,17 @@ def _fused_kernel(
             p_buf[j, i * b : (i + 1) * b, m * b : (m + 1) * b] = blk
     out_cp(j, sem_o).start()
     stage_hl(j, p_buf[j])
+    if with_w:
+        # emit the panel-diagonal inverse W_j = inv(L_jj) (lower block
+        # triangular): one extra (p, p) f32 DMA per panel (~32 MB total
+        # at n=16k) lets the caller's alpha solve run as pure block-GEMM
+        # substitution sweeps — no XLA triangular-solve machinery
+        for i in range(nb):
+            for m in range(nb):
+                w_buf[i * b : (i + 1) * b, m * b : (m + 1) * b] = (
+                    Wb[i][m] if m <= i else zb
+                )
+        pltpu.make_async_copy(w_buf, w_hbm.at[j], sem_w).start()
     wsplit = [
         [_bf16_split(Wb[i][m]) for m in range(i + 1)] for i in range(nb)
     ]
@@ -852,10 +868,13 @@ def _fused_kernel(
 
     jax.lax.fori_loop(jnp.maximum(j, nc - 2), nc, hlwait, 0)
 
+    if with_w:
+        pltpu.make_async_copy(w_buf, w_hbm.at[j], sem_w).wait()
+
 
 def _call_fused(
     src, par, n, dtype, *, panel, block, sw, chunk, group, form, interpret,
-    ablate, scheme=None,
+    ablate, scheme=None, with_w=False,
 ):
     nc = n // panel
     # single/few-panel matrices: the update stream's full-chunk DMA
@@ -866,7 +885,7 @@ def _call_fused(
         scheme = _default_diag_scheme()
     kernel = functools.partial(
         _fused_kernel, n=n, p=panel, b=block, sw=sw, nc=nc, h=chunk,
-        g=group, form=form, ablate=ablate, scheme=scheme,
+        g=group, form=form, ablate=ablate, scheme=scheme, with_w=with_w,
     )
     itemsize = jnp.dtype(dtype).itemsize
     p, h, g = panel, chunk, group
@@ -879,30 +898,41 @@ def _call_fused(
         + (src.size * itemsize if form is not None else 0)  # features
     ) + (24 << 20)
     src_spec = pl.BlockSpec(memory_space=pltpu.ANY if form is None else pltpu.VMEM)
-    L, _ = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, n), dtype),                 # L (f32)
+        jax.ShapeDtypeStruct((nc, n, 2 * p), jnp.bfloat16),  # hi|lo slabs
+    ]
+    scratch = [
+        pltpu.VMEM((nc, p, p), dtype),                   # p_buf
+        pltpu.VMEM((2, g, h * p, 2 * p), jnp.bfloat16),  # t_buf
+        pltpu.VMEM((2, g, p, 2 * p), jnp.bfloat16),      # r_buf
+        pltpu.VMEM((2, p, 2 * p), jnp.bfloat16),         # hl_buf
+    ]
+    sems = [
+        pltpu.SemaphoreType.DMA(()),                     # sem_in
+        pltpu.SemaphoreType.DMA((2,)),                   # sem_t
+        pltpu.SemaphoreType.DMA((2,)),                   # sem_r
+        pltpu.SemaphoreType.DMA(()),                     # sem_z
+        pltpu.SemaphoreType.DMA(()),                     # sem_o
+        pltpu.SemaphoreType.DMA((2,)),                   # sem_hl
+    ]
+    if with_w:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_shape.append(jax.ShapeDtypeStruct((nc, p, p), dtype))  # W panels
+        scratch.append(pltpu.VMEM((p, p), dtype))                  # w_buf
+        sems.append(pltpu.SemaphoreType.DMA(()))                   # sem_w
+        vmem += p * p * itemsize
+    out = pl.pallas_call(
         kernel,
         grid=(nc,),
         in_specs=[src_spec, pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, n), dtype),                 # L (f32)
-            jax.ShapeDtypeStruct((nc, n, 2 * p), jnp.bfloat16),  # hi|lo slabs
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((nc, p, p), dtype),                   # p_buf
-            pltpu.VMEM((2, g, h * p, 2 * p), jnp.bfloat16),  # t_buf
-            pltpu.VMEM((2, g, p, 2 * p), jnp.bfloat16),      # r_buf
-            pltpu.VMEM((2, p, 2 * p), jnp.bfloat16),         # hl_buf
-            pltpu.SemaphoreType.DMA(()),                     # sem_in
-            pltpu.SemaphoreType.DMA((2,)),                   # sem_t
-            pltpu.SemaphoreType.DMA((2,)),                   # sem_r
-            pltpu.SemaphoreType.DMA(()),                     # sem_z
-            pltpu.SemaphoreType.DMA(()),                     # sem_o
-            pltpu.SemaphoreType.DMA((2,)),                   # sem_hl
-        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch + sems,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=min(int(vmem), 100 * (1 << 20)),
@@ -914,7 +944,9 @@ def _call_fused(
         ),
         interpret=interpret,
     )(src, par)
-    return L
+    if with_w:
+        return out[0], out[2]
+    return out[0]
 
 
 @functools.partial(
@@ -928,7 +960,7 @@ def _cholesky_fused_jit(
     A: jax.Array,
     *,
     panel: int = 512,
-    block: int = 256,
+    block: int = 128,
     sw: int = 32,
     chunk: int = 2,
     group: int = 1,
@@ -954,7 +986,7 @@ def cholesky_fused(
     A: jax.Array,
     *,
     panel: int = 512,
-    block: int = 256,
+    block: int = 128,
     sw: int = 32,
     chunk: int = 2,
     group: int = 1,
@@ -985,7 +1017,7 @@ _GRAM_FORMS = ("gaussian", "rq", "matern12", "matern32", "matern52")
     jax.jit,
     static_argnames=(
         "form", "panel", "block", "sw", "chunk", "group", "interpret",
-        "ablate", "diag_scheme",
+        "ablate", "diag_scheme", "return_winv",
     ),
 )
 def _gram_cholesky_fused_jit(
@@ -997,13 +1029,14 @@ def _gram_cholesky_fused_jit(
     *,
     form: str = "gaussian",
     panel: int = 512,
-    block: int = 256,
+    block: int = 128,
     sw: int = 32,
     chunk: int = 2,
     group: int = 1,
     interpret: bool = False,
     ablate: str = "",
     diag_scheme: str = "strip",
+    return_winv: bool = False,
 ) -> jax.Array:
     """chol(K(X, X) + diag*I) in ONE pallas dispatch — the Gram matrix is
     never materialized in HBM: each panel strip is computed in VMEM from
@@ -1035,7 +1068,7 @@ def _gram_cholesky_fused_jit(
     return _call_fused(
         X3, par, n, X.dtype, panel=panel, block=block, sw=sw, chunk=chunk,
         group=group, form=form, interpret=interpret, ablate=ablate,
-        scheme=diag_scheme,
+        scheme=diag_scheme, with_w=return_winv,
     )
 
 
@@ -1048,13 +1081,14 @@ def gram_cholesky_fused(
     *,
     form: str = "gaussian",
     panel: int = 512,
-    block: int = 256,
+    block: int = 128,
     sw: int = 32,
     chunk: int = 2,
     group: int = 1,
     interpret: bool = False,
     ablate: str = "",
     diag_scheme: str | None = None,
+    return_winv: bool = False,
 ) -> jax.Array:
     """Public wrapper of the fused Gram+Cholesky kernel; see
     ``_gram_cholesky_fused_jit``.  ``diag_scheme=None`` resolves
@@ -1065,7 +1099,7 @@ def gram_cholesky_fused(
     return _gram_cholesky_fused_jit(
         X, sigma, scale, third, diag, form=form, panel=panel, block=block,
         sw=sw, chunk=chunk, group=group, interpret=interpret, ablate=ablate,
-        diag_scheme=diag_scheme,
+        diag_scheme=diag_scheme, return_winv=return_winv,
     )
 
 
@@ -1080,11 +1114,14 @@ def safe_gram_cholesky_fused(
     initial_jitter: float = 0.0,
     max_tries: int = 6,
     panel: int = 512,
-    block: int = 256,
+    block: int = 128,
     sw: int = 32,
     interpret: bool = False,
+    return_winv: bool = False,
 ):
-    """(L, jitter_used) with jitter escalation, entirely on the fused
+    """(L, jitter_used) — or (L, W, jitter_used) with ``return_winv``,
+    where W (nc, p, p) holds the panel-diagonal inverses inv(L_jj) for
+    :func:`cho_solve_panels` — with jitter escalation, entirely on the fused
     gram+factorization kernel — the analogue of ``linalg.safe_cholesky``
     for the one-dispatch fit path.  The retry loop re-runs the SAME
     compiled kernel with the escalated diagonal (a failed pivot poisons
@@ -1099,12 +1136,14 @@ def safe_gram_cholesky_fused(
     eps = jnp.finfo(f32).eps
 
     def attempt(j):
-        return gram_cholesky_fused(
+        out = gram_cholesky_fused(
             X, sigma, scale, third, noise + j, form=form, panel=panel,
             block=block, sw=sw, interpret=interpret,
+            return_winv=return_winv,
         )
+        return out if return_winv else (out, jnp.zeros((), f32))
 
-    L0 = attempt(jnp.zeros((), f32))
+    L0, W0 = attempt(jnp.zeros((), f32))
     ok0 = jnp.isfinite(L0[-1, -1])
     scale32 = jnp.asarray(scale, f32)
     base = jnp.where(
@@ -1114,19 +1153,65 @@ def safe_gram_cholesky_fused(
     )
 
     def cond(state):
-        ok, tries, _, _ = state
+        ok, tries, _, _, _ = state
         return jnp.logical_and(jnp.logical_not(ok), tries < max_tries)
 
     def body(state):
-        ok, tries, jit_, L = state
+        ok, tries, jit_, L, W = state
         jnew = jnp.where(tries == 0, base, jit_ * 10.0)
-        Lnew = attempt(jnew)
-        return jnp.isfinite(Lnew[-1, -1]), tries + 1, jnew, Lnew
+        Lnew, Wnew = attempt(jnew)
+        return jnp.isfinite(Lnew[-1, -1]), tries + 1, jnew, Lnew, Wnew
 
-    ok, _, jit_, L = jax.lax.while_loop(
-        cond, body, (ok0, jnp.asarray(0, jnp.int32), jnp.zeros((), f32), L0)
+    ok, _, jit_, L, W = jax.lax.while_loop(
+        cond, body,
+        (ok0, jnp.asarray(0, jnp.int32), jnp.zeros((), f32), L0, W0),
     )
+    if return_winv:
+        return L, W, jit_
     return L, jit_
+
+
+def cho_solve_panels(L: jax.Array, W: jax.Array, B: jax.Array) -> jax.Array:
+    """Solve (L L^T) X = B using the fused kernel's emitted panel-diagonal
+    inverses ``W`` (nc, p, p): two block-substitution sweeps of plain
+    GEMMs — no triangular-solve custom calls, no diagonal-inverse
+    machinery (the blocked solve's InvertDiagBlocks custom calls and
+    recursion glue cost ~2 ms inside fit at n=16k, round-4 anatomy).
+
+    Forward (j ascending):  y_j = W_j (B_j − L[j, :j] y_{<j})
+    Backward (j descending): x_j = W_j^T (y_j − L[>j, j]^T x_{>j})
+
+    Static python loops over the nc panels; every slice is static.
+    Numerics: TRSM-via-TRTRI per panel block (same scheme, and the same
+    jitter-guarded-SPD conditioning argument, as the kernel's in-dispatch
+    panel solve)."""
+    from ..utils.config import matmul_precision
+
+    prec = matmul_precision()
+    squeeze = B.ndim == 1
+    if squeeze:
+        B = B[:, None]
+    n = L.shape[0]
+    nc, p, _ = W.shape
+    mm = functools.partial(
+        jnp.matmul, precision=prec, preferred_element_type=B.dtype
+    )
+    ys = []
+    for j in range(nc):
+        rhs = B[j * p : (j + 1) * p]
+        if j:
+            ycat = jnp.concatenate(ys, axis=0)
+            rhs = rhs - mm(L[j * p : (j + 1) * p, : j * p], ycat)
+        ys.append(mm(W[j], rhs))
+    xs = [None] * nc
+    for j in reversed(range(nc)):
+        rhs = ys[j]
+        if j + 1 < nc:
+            xcat = jnp.concatenate(xs[j + 1 :], axis=0)
+            rhs = rhs - mm(L[(j + 1) * p :, j * p : (j + 1) * p].T, xcat)
+        xs[j] = mm(W[j].T, rhs)
+    X = jnp.concatenate(xs, axis=0)
+    return X[:, 0] if squeeze else X
 
 
 def fused_usable(A) -> bool:

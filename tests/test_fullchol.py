@@ -111,6 +111,30 @@ class TestMatrixMode:
             assert np.abs(V @ U - np.eye(b)).max() < 1e-5
             assert np.all(np.tril(V, -1) == 0.0)
 
+    def test_winv_emission_and_panel_solve(self, rng):
+        # the kernel's 3rd output: panel-diagonal inverses W_j = inv(L_jj),
+        # consumed by cho_solve_panels (pure block-GEMM substitution)
+        from gpr_tpu.ops.pallas_fullchol import (
+            cho_solve_panels,
+            safe_gram_cholesky_fused,
+        )
+
+        n, d, q = 512, 6, 3
+        X = jnp.asarray(rng.standard_normal((n, d)).astype(F32))
+        B = jnp.asarray(rng.standard_normal((n, q)).astype(F32))
+        L, W, jit_ = safe_gram_cholesky_fused(
+            X, 1.5, 1.2, 1.0, 0.3, form="gaussian", panel=128, block=64,
+            sw=16, interpret=True, return_winv=True,
+        )
+        # W really is inv(L_jj) per panel
+        for j in range(W.shape[0]):
+            Lj = np.asarray(L)[j * 128:(j + 1) * 128, j * 128:(j + 1) * 128]
+            assert np.abs(np.asarray(W)[j] @ Lj - np.eye(128)).max() < 1e-3
+        x = np.asarray(cho_solve_panels(L, W, B))
+        Lr = np.asarray(L, np.float64)
+        ref = np.linalg.solve(Lr @ Lr.T, np.asarray(B, np.float64))
+        assert np.abs(x - ref).max() / np.abs(ref).max() < 1e-4
+
     def test_failed_pivot_poisons_last_diagonal(self, rng):
         A = _spd(rng, 256)
         A[3, 3] = -1e6  # non-positive pivot early in the first panel
