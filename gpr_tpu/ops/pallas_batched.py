@@ -112,7 +112,15 @@ def _crout_sweep(S0, g: int, b: int, with_w: bool = True):
         W = jnp.where(rows == j, wrow, W)
         return S, L, W
 
-    _, L, W = lax.fori_loop(0, b, step, (S0, L0, W0))
+    # python-unrolled column loop: ``b`` is static, so every column's
+    # masks/selects become compile-time CONSTANTS instead of per-iteration
+    # iota comparisons against a traced index (the same static-unroll that
+    # cut the fused headline kernel's diag chain ~7%, round-4; here the 8
+    # crout calls are 62% of the fleet batch — fleet trace anatomy).
+    carry = (S0, L0, W0)
+    for j in range(b):
+        carry = step(j, carry)
+    _, L, W = carry
     return L, (W if with_w else None)
 
 
@@ -136,7 +144,10 @@ def crout_chol(A: jax.Array, *, g: int = 0, interpret: bool = False):
     if b != b2:
         raise ValueError(f"crout_chol: square tiles required, got {A.shape}")
     if g <= 0:
-        g = max(1, min(B, (512 * 1024) // (b * b * 4)))
+        # round-3 g sweep (b=64, per 8-step call): g16 423 us / g32 538 /
+        # g64 471 — g16 also wins in-fit (25.6k vs 24.0k fits/s at g32,
+        # 21.5k at g8, round-4); target ~256 KB resident
+        g = max(1, min(B, (256 * 1024) // (b * b * 4)))
         while B % g:
             g -= 1
     if B % g:
@@ -151,8 +162,10 @@ def crout_chol(A: jax.Array, *, g: int = 0, interpret: bool = False):
         compiler_params=pltpu.CompilerParams(
             # the sweep's masked-reduction temps push the compiler's scoped
             # stack past the 16 MB default at some (g, b); budget explicitly
+            # (the round-4 static unroll of the column loop adds ~0.4 MB of
+            # stack at g=32/b=64 — measured 20.34M vs the old 20.00M cap)
             vmem_limit_bytes=min(
-                8 * g * b * b * A.dtype.itemsize + (16 << 20), 100 << 20
+                12 * g * b * b * A.dtype.itemsize + (20 << 20), 100 << 20
             )
         ),
         cost_estimate=pl.CostEstimate(

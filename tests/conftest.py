@@ -45,3 +45,33 @@ def pytest_collection_modifyitems(session, config, items):
     front = [it for it in items if "test_sharded" in it.nodeid]
     rest = [it for it in items if "test_sharded" not in it.nodeid]
     items[:] = front + rest
+
+
+_last_module = [None]
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_between_modules(request):
+    """Drop compiled executables at module boundaries.
+
+    Round 4: the jaxlib-0.9.0 CPU segfault (same
+    ``backend_compile_and_load`` signature as the round-2 one) came back
+    with the suite's growth, and the crash point MOVES between runs —
+    heap-state-dependent accumulation, not one test.  Freeing the
+    executable caches per module keeps the live compiler state bounded;
+    the persistent on-disk compilation cache (below) keeps repeated
+    shapes cheap to re-load."""
+    mod = request.node.nodeid.split("::", 1)[0]
+    if _last_module[0] is not None and _last_module[0] != mod:
+        jax.clear_caches()
+    _last_module[0] = mod
+    yield
+
+
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/gpr_tpu_test_cache"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except (AttributeError, ValueError):
+    pass
