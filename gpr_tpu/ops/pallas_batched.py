@@ -75,13 +75,11 @@ def _crout_sweep(S0, g: int, b: int, with_w: bool = True):
         # (same cost class as the rank-1 update below).
         colmask = cols == j  # (1,1,b)
         colr = jnp.sum(jnp.where(colmask, S, 0.0), axis=2, keepdims=True)  # (g,b,1)
-        # piv directly from S (not from colr): both reductions read the
-        # SAME operand, so they sit at the same level of the serial
-        # dependency chain instead of piv waiting on colr
-        piv = jnp.sum(
-            jnp.where((rows == j) & colmask, S, 0.0), axis=(1, 2),
-            keepdims=True,
-        )
+        # NOTE: piv must reach (g,1,1) through two reduce levels either
+        # way, so deriving it from colr costs no extra chain depth — and
+        # a fused axis=(1,2) masked reduce is another Mosaic compile
+        # abort (SIGABRT, round-4 measured), like iota slices.
+        piv = jnp.sum(jnp.where(rows == j, colr, 0.0), axis=1, keepdims=True)
         rd = lax.rsqrt(jnp.maximum(piv, 0.0))
         below = rows >= j  # includes the pivot row
         if not with_w:
