@@ -56,6 +56,46 @@ class TestShardedCholesky:
         X = np.asarray(sg.cho_solve_sharded(jnp.asarray(L), jnp.asarray(B), mesh))
         np.testing.assert_allclose(A @ X, B, atol=1e-8)
 
+    def test_panel_solve_not_replicated(self):
+        """Round-4 owner-rows contract (VERDICT r3 #6): inside the SPMD
+        body, every triangular solve operates on the device's OWN
+        (nb, nb) row block — the round-3 schedule solved the FULL
+        (n - k·nb, nb) below-panel on every device (O(n·nb²) replicated
+        work).  Assert structurally on the jaxpr: no triangular_solve
+        primitive sees an operand taller than nb."""
+        import jax
+
+        D, nb = 8, 16
+        n = D * nb
+        mesh = sg.default_mesh(D)
+        jaxpr = jax.make_jaxpr(
+            lambda K: sg.cholesky_sharded(K, mesh)
+        )(jnp.zeros((n, n)))
+
+        # collect over all nested jaxprs (cholesky_blocked etc. inline)
+        sizes = []
+        stack = [jaxpr.jaxpr]
+        while stack:
+            j = stack.pop()
+            for eqn in j.eqns:
+                if "triangular_solve" in eqn.primitive.name:
+                    sizes.append(
+                        max(v.aval.shape[0] for v in eqn.invars
+                            if hasattr(v.aval, "shape") and v.aval.shape)
+                    )
+                for p in eqn.params.values():
+                    cands = p if isinstance(p, (list, tuple)) else (p,)
+                    for q in cands:
+                        if hasattr(q, "eqns"):       # raw Jaxpr
+                            stack.append(q)
+                        elif hasattr(q, "jaxpr"):    # ClosedJaxpr
+                            stack.append(q.jaxpr)
+        assert sizes, "expected triangular solves in the panel body"
+        assert max(sizes) <= nb, (
+            f"panel solve sees a {max(sizes)}-row operand (> nb={nb}): "
+            "the below-panel solve is replicated again"
+        )
+
 
 class TestShardedFit:
     def test_matches_exact_fit(self, mesh):
