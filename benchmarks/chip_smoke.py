@@ -121,11 +121,13 @@ print("PROBE_OK")
 from gpr_tpu.ops.pallas_syrk import syrk_update
 n, k = 1024, 512
 rng = np.random.default_rng(5)
-C = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
-B = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
-out = syrk_update(C, B)
-ref = C - B @ B.T
-err = float(jnp.max(jnp.abs(jnp.tril(out) - jnp.tril(ref))))
+Ch = rng.standard_normal((n, n)).astype(np.float32)
+Bh = rng.standard_normal((n, k)).astype(np.float32)
+out = np.asarray(syrk_update(jnp.asarray(Ch), jnp.asarray(Bh)))
+# reference on HOST (an on-chip jnp matmul would itself run the sloppy
+# single-pass bf16 default and dominate the error)
+ref = Ch.astype(np.float64) - Bh.astype(np.float64) @ Bh.T.astype(np.float64)
+err = np.abs(np.tril(out) - np.tril(ref)).max()
 assert err < 1e-1, err
 print("PROBE_OK")
 """,
