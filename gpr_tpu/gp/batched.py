@@ -72,7 +72,13 @@ def _factor_and_solve(K, Y, use_crout: bool | None):
             )
         import os
 
-        panel = int(os.environ.get("GPR_FLEET_PANEL", 64))
+        # panel sweep with the round-4 static-unrolled crout (B=128,
+        # fits/s): n=512 p16 20.4k / **p32 30.6k** / p64 25.6k / p128
+        # 10.3k; n=256 p32 201.7k / p64 86.2k; n=1024 p32 4.9k /
+        # **p64 6.6k** / p128 4.2k — smaller matrices want the finer
+        # sweep granularity, larger ones the wider trailing GEMMs
+        default_panel = 32 if n <= 512 else 64
+        panel = int(os.environ.get("GPR_FLEET_PANEL", default_panel))
         while n % panel and panel > 16:
             panel //= 2
         L, W = pallas_batched.cholesky_batched(
