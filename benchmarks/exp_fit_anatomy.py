@@ -133,6 +133,7 @@ def main():
         "-dots": (make_fused("dots"), (X,)),
         "-diag": (make_fused("diag"), (X,)),
         "-solve": (make_fused("solve"), (X,)),
+        "-stream": (make_fused("stream"), (X,)),
         "chosolve": (make_chosolve, ()),
     }
     names = sys.argv[1:] or list(variants)

@@ -713,18 +713,22 @@ def _fused_kernel(
         else:
             jax.lax.fori_loop(0, glen_of(kg), wi, 0)
 
+    stream = ablate != "stream"  # timing ablation: no update-stream DMAs
+
     @pl.when(j > 0)
     def _():
-        r_start(0, 0)
-        t_start(0, 0, 0)
+        if stream:
+            r_start(0, 0)
+            t_start(0, 0, 0)
 
     def gbody(kg, _):
         rslot = _rem2(kg)
-        r_wait(rslot, kg)
+        if stream:
+            r_wait(rslot, kg)
 
-        @pl.when(kg + 1 < ngroups)
-        def _():
-            r_start(1 - rslot, kg + 1)
+            @pl.when(kg + 1 < ngroups)
+            def _():
+                r_start(1 - rslot, kg + 1)
 
         def ubody(u, _):
             it = kg * per_k + u
@@ -734,11 +738,12 @@ def _fused_kernel(
             kn = jnp.where(last_u, kg + 1, kg)
             un = jnp.where(last_u, 0, u + 1)
 
-            @pl.when(kn < ngroups)
-            def _():
-                t_start(1 - slot, kn, un)
+            if stream:
+                @pl.when(kn < ngroups)
+                def _():
+                    t_start(1 - slot, kn, un)
 
-            t_wait(slot, kg, u)
+                t_wait(slot, kg, u)
             gl = glen_of(kg)
 
             def dots(i, S):
