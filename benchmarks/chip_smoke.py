@@ -108,6 +108,28 @@ gp = exact.fit(gpr_tpu.Gaussian(2.0, 1.0), X, y, sigma=0.3,
 assert bool(jnp.all(jnp.isfinite(gp.alpha))), "non-finite alpha"
 print("PROBE_OK")
 """,
+    # full-fit ACCURACY at a multi-panel scale (nc=8): fused kernel + the
+    # W-emission panel solve vs float64 numpy — the scale class the
+    # small-n interpret tests cannot cover
+    "fit_accuracy_n4096": _COMMON + """
+import gpr_tpu
+from gpr_tpu.gp import exact
+n, d, q = 4096, 16, 4
+rng = np.random.default_rng(7)
+X = rng.standard_normal((n, d)).astype(np.float32)
+Y = rng.standard_normal((n, q)).astype(np.float32)
+k = gpr_tpu.Gaussian(jnp.asarray(4.0, jnp.float32), jnp.asarray(1.0, jnp.float32))
+gp = exact.fit(k, jnp.asarray(X), jnp.asarray(Y), sigma=0.3, use_pallas_gram=True)
+alpha = np.asarray(gp.alpha); L = np.asarray(gp.L)
+X64 = X.astype(np.float64)
+sq = ((X64[:, None, :] - X64[None, :, :]) ** 2).sum(-1)
+K = np.exp(-0.5 * sq / 16.0) + 0.09 * np.eye(n)
+ref = np.linalg.solve(K, Y.astype(np.float64))
+a_err = np.abs(alpha - ref).max() / np.abs(ref).max()
+l_err = np.abs(L - np.linalg.cholesky(K)).max() / np.abs(L).max()
+assert a_err < 5e-3 and l_err < 5e-3, (a_err, l_err)
+print("PROBE_OK")
+""",
     # --- standalone pallas kernels on the recursive path ------------------
     "gram_pallas": _COMMON + """
 from gpr_tpu.ops.pallas_gram import gram_pallas
@@ -170,7 +192,7 @@ print("PROBE_OK")
 }
 
 GROUPS = {
-    "fused": [k for k in PROBES if k.startswith(("fused", "public"))],
+    "fused": [k for k in PROBES if k.startswith(("fused", "public", "fit_"))],
     "pallas": ["gram_pallas", "syrk_pallas", "recursive_chol"],
     "fleet": ["fleet_batched_fit"],
     "solve": ["solve_narrow"],
