@@ -262,6 +262,55 @@ _FLEET_DIAG_DEFAULT = "crout_xlaw"  # round-3 on-chip A/B (exp_fleet_r3.py),
 # custom call produces W in one ~86 us pass
 
 
+def _crout_blocked_L(D: jax.Array, bs: int, interpret: bool):
+    """L = chol(D) for (B, p, p) SPD blocks via TWO-LEVEL blocking: the
+    crout sweep runs only on (B, bs, bs) SUB-blocks (its per-column cost
+    grows with tile width — the round-4 fleet panel sweep showed p=32
+    sweeps beating p=64 while p=128 trailing GEMMs beat p=32's), and the
+    inter-sub-block corrections/solves are batched MXU GEMMs against the
+    sub-block inverses (one XLA batched trisolve-vs-I per step)."""
+    from ..utils.config import matmul_precision
+
+    prec = matmul_precision()
+    p = D.shape[-1]
+    nb = p // bs
+    if nb <= 1:
+        return crout_chol(D, interpret=interpret)
+    mm = functools.partial(
+        jnp.matmul, precision=prec, preferred_element_type=D.dtype
+    )
+    blk = lambda i, m: D[:, i * bs:(i + 1) * bs, m * bs:(m + 1) * bs]
+    L = [[None] * nb for _ in range(nb)]
+    eye = jnp.broadcast_to(
+        jnp.eye(bs, dtype=D.dtype), (D.shape[0], bs, bs)
+    )
+    for k in range(nb):
+        S = blk(k, k)
+        for m in range(k):
+            S = S - mm(L[k][m], L[k][m].transpose(0, 2, 1))
+        Lkk = crout_chol(S, interpret=interpret)
+        Wkk = jax.lax.linalg.triangular_solve(
+            Lkk, eye, left_side=True, lower=True
+        )
+        L[k][k] = Lkk
+        WT = Wkk.transpose(0, 2, 1)
+        for i in range(k + 1, nb):
+            R = blk(i, k)
+            for m in range(k):
+                R = R - mm(L[i][m], L[k][m].transpose(0, 2, 1))
+            L[i][k] = mm(R, WT)
+    z = jnp.zeros_like(eye)
+    return jnp.concatenate(
+        [
+            jnp.concatenate(
+                [L[i][m] if m <= i else z for m in range(nb)], axis=2
+            )
+            for i in range(nb)
+        ],
+        axis=1,
+    )
+
+
 def diag_factor_inverse(D: jax.Array, *, interpret: bool = False):
     """(L, W=L^{-1}) for a batch of SPD diagonal blocks (B, b, b),
     dispatching per :func:`_diag_impl`."""
@@ -271,6 +320,10 @@ def diag_factor_inverse(D: jax.Array, *, interpret: bool = False):
     if impl == "crout_xlaw":
         # W-free pallas sweep for L + one XLA batched trisolve for W
         L = crout_chol(D, interpret=interpret)
+    elif impl.startswith("crout2"):
+        # two-level: crout sweeps on 32-sub-blocks + GEMM corrections
+        bs = int(impl[6:] or 32)
+        L = _crout_blocked_L(D, bs, interpret)
     else:
         L = jax.lax.linalg.cholesky(D, symmetrize_input=False)
     eye = jnp.broadcast_to(

@@ -4,6 +4,25 @@ hyperparameters, grid scoring."""
 import math
 
 import numpy as np
+
+
+def test_crout2_two_level_matches_numpy():
+    """GPR_FLEET_DIAG=crout2 (two-level diag: 32-sub-block crout sweeps +
+    GEMM corrections) — measured fleet negative kept in-tree; must stay
+    correct."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpr_tpu.ops.pallas_batched import _crout_blocked_L
+
+    rng = np.random.default_rng(0)
+    B, p = 3, 128
+    Bm = rng.standard_normal((B, p, p)).astype(np.float32)
+    D = Bm @ Bm.transpose(0, 2, 1) + p * np.eye(p, dtype=np.float32)
+    L = np.asarray(jax.jit(
+        lambda d: _crout_blocked_L(d, 32, True))(jnp.asarray(D)))
+    ref = np.linalg.cholesky(D.astype(np.float64))
+    assert np.abs(L - ref).max() / np.abs(ref).max() < 1e-4
 import jax.numpy as jnp
 import pytest
 
