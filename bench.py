@@ -48,40 +48,26 @@ def _time_scalar_fn(make_fn, *args, repeats=8, iters=3):
     return max((tR - t1) / (repeats - 1), 1e-9)
 
 
-_FUSED_PROBE = """
-import jax, jax.numpy as jnp, numpy as np
-from gpr_tpu.utils import config as _cfg
-_cfg.set_matmul_precision("high")
-from gpr_tpu.ops.pallas_fullchol import gram_cholesky_fused
-n = 1024
-X = jnp.asarray(np.random.default_rng(1).standard_normal((n, 8)), jnp.float32)
-L = gram_cholesky_fused(X, 1.0, 1.0, 1.0, 0.1, form="gaussian")
-assert bool(jnp.isfinite(L[-1, -1]))
-print("PROBE_OK")
-"""
-
-
 def _probe_fused_schedule() -> bool:
-    """Run the fused Gram+Cholesky kernel once in a SUBPROCESS.
+    """Run the PUBLIC fit route once in a SUBPROCESS before betting the
+    headline on it.
 
     A Mosaic lowering bug aborts the whole process (SIGABRT — round 3's
     BENCH_r03 recorded rc=1 and no number at all), so the probe must be
-    isolated.  On failure the bench falls back to the recursive schedule:
-    the headline degrades instead of vanishing."""
-    import subprocess
+    isolated.  It reuses chip_smoke's ``public_fit_default`` probe, which
+    exercises exactly the specialization the bench runs (exact.fit →
+    safe_gram_cholesky_fused(return_winv=True) → the with_w=True kernel
+    variant + cho_solve_panels) — probing a different variant would not
+    guard this one.  On failure the bench falls back to the recursive
+    schedule: the headline degrades instead of vanishing."""
     import sys
 
-    env = dict(os.environ)
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gpr_tpu_jax_cache")
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", _FUSED_PROBE],
-            capture_output=True, text=True, timeout=600, env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-    except subprocess.TimeoutExpired:
-        return False
-    return proc.returncode == 0 and "PROBE_OK" in proc.stdout
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks")
+    )
+    import chip_smoke
+
+    return chip_smoke.run_probe("public_fit_default")["ok"]
 
 
 def main():

@@ -88,7 +88,16 @@ def main(argv=None) -> int:
     n_train = int(argv[1])
     starts = [int(s) for s in argv[2].split(",")]
     results = run_drift(config_path, n_train, starts)
-    out = os.path.join(os.path.dirname(os.path.abspath(config_path)), "drift.json")
+    # write into the study's root_dir (NOT next to the config — configs
+    # ship in the repo and run output must not dirty the working tree)
+    import yaml
+
+    with open(config_path) as f:
+        _cfg = yaml.safe_load(f)
+    _root = _cfg.get("general", {}).get(
+        "root_dir", os.path.dirname(os.path.abspath(config_path))
+    )
+    out = os.path.join(_root, "drift.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     for tag, r in results.items():

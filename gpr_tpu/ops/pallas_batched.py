@@ -121,10 +121,16 @@ def _crout_sweep(S0, g: int, b: int, with_w: bool = True):
     # iota comparisons against a traced index (the same static-unroll that
     # cut the fused headline kernel's diag chain ~7%, round-4; here the 8
     # crout calls are 62% of the fleet batch — fleet trace anatomy).
-    carry = (S0, L0, W0)
-    for j in range(b):
-        carry = step(j, carry)
-    _, L, W = carry
+    # Guard: unrolling 256+ masked steps into one Mosaic kernel turns a
+    # large GPR_FLEET_PANEL A/B config into a multi-minute compile — keep
+    # the fori_loop above the measured-win sizes.
+    if b <= 128:
+        carry = (S0, L0, W0)
+        for j in range(b):
+            carry = step(j, carry)
+        _, L, W = carry
+    else:
+        _, L, W = lax.fori_loop(0, b, step, (S0, L0, W0))
     return L, (W if with_w else None)
 
 

@@ -4,6 +4,11 @@ hyperparameters, grid scoring."""
 import math
 
 import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import gpr_tpu
+from gpr_tpu.gp import batched, exact
 
 
 def test_crout2_two_level_matches_numpy():
@@ -11,7 +16,6 @@ def test_crout2_two_level_matches_numpy():
     GEMM corrections) — measured fleet negative kept in-tree; must stay
     correct."""
     import jax
-    import jax.numpy as jnp
 
     from gpr_tpu.ops.pallas_batched import _crout_blocked_L
 
@@ -23,11 +27,6 @@ def test_crout2_two_level_matches_numpy():
         lambda d: _crout_blocked_L(d, 32, True))(jnp.asarray(D)))
     ref = np.linalg.cholesky(D.astype(np.float64))
     assert np.abs(L - ref).max() / np.abs(ref).max() < 1e-4
-import jax.numpy as jnp
-import pytest
-
-import gpr_tpu
-from gpr_tpu.gp import batched, exact
 from gpr_tpu.gp import likelihood as lk
 
 
