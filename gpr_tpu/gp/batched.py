@@ -81,13 +81,12 @@ def _factor_and_solve(K, Y, use_crout: bool | None):
         panel = int(os.environ.get("GPR_FLEET_PANEL", default_panel))
         while n % panel and panel > 16:
             panel //= 2
-        L, W = pallas_batched.cholesky_batched(
-            K, panel=panel, interpret=interp, return_winv=True
+        # custom_vjp wrapper: same primal kernels, and gradient callers
+        # (mll_batched under jax.grad) get the Cholesky/solve pullbacks
+        # in batched GEMMs instead of falling back to XLA's batched potrf
+        return pallas_batched.factor_solve_batched_diff(
+            K, Y, panel, interp
         )
-        alpha = pallas_batched.cho_solve_batched(
-            L, Y, panel=panel, interpret=interp, winv=W
-        )
-        return L, alpha
     L = jnp.linalg.cholesky(K)
     alpha = jax.vmap(lambda l, y: jax.scipy.linalg.cho_solve((l, True), y))(L, Y)
     return L, alpha
@@ -209,10 +208,11 @@ def mll_batched(
     over output dims; complexity and constant counted ONCE) — e.g. for
     scoring a hyperparameter grid in one shot.
 
-    ``use_crout=None`` resolves to False here (unlike ``fit_batched``):
-    the pallas fleet factorizer has no autodiff rule, and mll is the
-    function users differentiate.  Pass ``use_crout=True`` explicitly for
-    non-differentiated grid scoring on TPU."""
+    ``use_crout=None`` auto-dispatches to the pallas fleet factorizer on
+    TPU like ``fit_batched`` (round 4: ``factor_solve_batched_diff``
+    carries a ``custom_vjp`` — Cholesky + solve pullbacks in batched
+    GEMMs — so mll is differentiable on the fast path; the round-3
+    restriction to XLA's batched potrf under ``jax.grad`` is gone)."""
     import math
 
     X = jnp.asarray(X)
@@ -227,7 +227,7 @@ def mll_batched(
         return linalg.add_diagonal(kermod.gram(k, x), s**2)
 
     K = jax.vmap(gram_one, in_axes=(k_axes, 0, 0))(kernel, X, sigma)
-    L, alpha = _factor_and_solve(K, Y, False if use_crout is None else use_crout)
+    L, alpha = _factor_and_solve(K, Y, use_crout)
     df = -0.5 * jnp.sum(Y * alpha, axis=(1, 2))
     cp = -jnp.sum(jnp.log(jnp.diagonal(L, axis1=1, axis2=2)), axis=1)
     return df + cp - n / 2.0 * math.log(2 * math.pi)

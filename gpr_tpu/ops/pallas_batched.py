@@ -619,3 +619,62 @@ def factor_solve_fused(
         ),
         interpret=interpret,
     )(A, Y)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def factor_solve_batched_diff(K, Y, panel: int = 128, interpret: bool = False):
+    """(L, alpha) for a fleet — the pallas panel-stepped factor + block
+    substitution, wrapped in ONE ``custom_vjp`` so gradient paths
+    (``mll_batched`` under ``jax.grad``, fleet hyperparameter fitting)
+    can use the fast kernels: pallas calls have no native autodiff rule,
+    and the round-3 default therefore pinned differentiated fleets to
+    XLA's slow batched potrf.
+
+    Pullback (first order, standard results; cf. ``linalg._chol_pullback``
+    and ``pallas_solve._cho_solve_narrow_bwd``): with alpha = K^{-1} Y,
+
+      Kbar = chol_pullback(L, Lbar)
+             - sym(W alpha^T),  W = K^{-1} alphabar   (solve-path term)
+      Ybar = W
+
+    All bwd ops are batched GEMMs + one more fleet solve — the backward
+    pass runs the SAME fast kernels as the forward."""
+    L, Winv = cholesky_batched(
+        K, panel=panel, interpret=interpret, return_winv=True
+    )
+    alpha = cho_solve_batched(
+        L, Y, panel=panel, interpret=interpret, winv=Winv
+    )
+    return L, alpha
+
+
+def _fsb_fwd(K, Y, panel, interpret):
+    L, Winv = cholesky_batched(
+        K, panel=panel, interpret=interpret, return_winv=True
+    )
+    alpha = cho_solve_batched(
+        L, Y, panel=panel, interpret=interpret, winv=Winv
+    )
+    return (L, alpha), (L, Winv, alpha)
+
+
+def _fsb_bwd(panel, interpret, res, cts):
+    from .linalg import _chol_pullback
+
+    L, Winv, alpha = res
+    Lbar, abar = cts
+    prec = matmul_precision()
+    # solve-path: W = K^{-1} abar via the same fleet solve
+    W = cho_solve_batched(
+        L, abar, panel=panel, interpret=interpret, winv=Winv
+    )
+    Ka = jnp.matmul(
+        W, alpha.transpose(0, 2, 1), precision=prec,
+        preferred_element_type=L.dtype,
+    )
+    Kbar = -0.5 * (Ka + Ka.transpose(0, 2, 1))
+    Kbar = Kbar + _chol_pullback(L, Lbar)
+    return Kbar, W
+
+
+factor_solve_batched_diff.defvjp(_fsb_fwd, _fsb_bwd)

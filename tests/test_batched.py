@@ -11,6 +11,31 @@ import gpr_tpu
 from gpr_tpu.gp import batched, exact
 
 
+def test_mll_batched_grad_matches_stock_path():
+    """round 4: factor_solve_batched_diff's custom_vjp (Cholesky + solve
+    pullbacks in batched GEMMs) must reproduce the stock-potrf path's
+    gradients — this is what lets mll_batched default to the fast
+    kernels under jax.grad."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    B, n, d = 2, 64, 3
+    X = jnp.asarray(rng.standard_normal((B, n, d)).astype(np.float32))
+    Y = jnp.asarray(np.sin(np.asarray(X).sum(-1, keepdims=True)).astype(np.float32))
+
+    def loss(params, use_crout):
+        s, sc = params
+        k = gpr_tpu.Gaussian(s, sc)
+        return jnp.sum(batched.mll_batched(k, X, Y, 0.2, use_crout=use_crout))
+
+    p0 = (jnp.asarray(1.7), jnp.asarray(0.9))
+    v_fast, g_fast = jax.value_and_grad(lambda p: loss(p, True))(p0)
+    v_ref, g_ref = jax.value_and_grad(lambda p: loss(p, False))(p0)
+    np.testing.assert_allclose(float(v_fast), float(v_ref), rtol=1e-5)
+    for a, b in zip(g_fast, g_ref):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-3, atol=1e-5)
+
+
 def test_crout2_two_level_matches_numpy():
     """GPR_FLEET_DIAG=crout2 (two-level diag: 32-sub-block crout sweeps +
     GEMM corrections) — measured fleet negative kept in-tree; must stay
