@@ -300,3 +300,70 @@ def fit_batched_sharded(
         kernel=kernel, X=X, Y=Y, sigma=sigma, alpha=alpha, L=L,
         batched_kernel=batched_kernel,
     )
+
+
+def fit_mle_batched(
+    kernel,
+    X,
+    Y,
+    sigma,
+    iterations: int = 200,
+    learning_rate: float = 0.05,
+    log_space: bool = True,
+    unroll_chunk: int = 0,
+    use_crout: bool | None = None,
+    init=None,
+):
+    """Per-member MLE over a whole fleet in ONE optimizer loop: every GP
+    optimizes its OWN hyperparameters simultaneously (the summed
+    ``mll_batched`` objective has block-diagonal structure, so per-member
+    gradients never mix), riding the differentiable fleet factorizer
+    (``factor_solve_batched_diff``, 1.6x the stock-potrf grad path on
+    v5e at B=128 n=512).
+
+    The reference optimizes one model per process invocation
+    (scripts/main.py loops ``gpLearn`` over studies; ``Optimize`` at
+    lib/GaussianProcessInference.cpp works on a single GP) — this is the
+    fleet-scale counterpart.
+
+    ``kernel``: a scalar-leaf template (shared init for every member)
+    unless ``init`` ((B, P) array, reference param ordering) is given.
+    Returns ``(batched_kernel, OptResult)`` with OptResult.params (B, P).
+    """
+    from ..inference.optimize import OptResult, _run_optax
+    from ..kernels import kernels as _kermod
+    import optax
+
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y)
+    B = X.shape[0]
+    vec0 = _kermod.params_vector(kernel)
+    P = vec0.shape[0]
+    if init is None:
+        v0 = jnp.broadcast_to(vec0[None, :], (B, P))
+    else:
+        v0 = jnp.asarray(init, vec0.dtype)
+        if v0.shape != (B, P):
+            raise ValueError(
+                f"fit_mle_batched: init shape {v0.shape} != {(B, P)}"
+            )
+
+    def mk_kernel(vecs):
+        return kernel.with_params([vecs[:, i] for i in range(P)])
+
+    def objective(vecs):
+        if log_space:
+            vecs = jnp.exp(vecs)
+        kb = mk_kernel(vecs)
+        return jnp.sum(
+            mll_batched(
+                kb, X, Y, sigma, batched_kernel=True, use_crout=use_crout
+            )
+        )
+
+    opt = optax.adam(learning_rate)
+    x0 = jnp.log(v0) if log_space else v0
+    res = _run_optax(objective, x0, opt, iterations, unroll_chunk)
+    params = jnp.exp(res.params) if log_space else res.params
+    res = OptResult(params=params, value=res.value, trace=res.trace)
+    return mk_kernel(params), res
