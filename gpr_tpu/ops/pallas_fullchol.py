@@ -966,7 +966,7 @@ def _cholesky_fused_jit(
     panel: int = 512,
     block: int = 128,
     sw: int = 32,
-    chunk: int = 2,
+    chunk: int = 1,
     group: int = 1,
     interpret: bool = False,
     ablate: str = "",
@@ -992,7 +992,7 @@ def cholesky_fused(
     panel: int = 512,
     block: int = 128,
     sw: int = 32,
-    chunk: int = 2,
+    chunk: int = 1,
     group: int = 1,
     interpret: bool = False,
     ablate: str = "",
@@ -1035,7 +1035,7 @@ def _gram_cholesky_fused_jit(
     panel: int = 512,
     block: int = 128,
     sw: int = 32,
-    chunk: int = 2,
+    chunk: int = 1,
     group: int = 1,
     interpret: bool = False,
     ablate: str = "",
@@ -1087,7 +1087,7 @@ def gram_cholesky_fused(
     panel: int = 512,
     block: int = 128,
     sw: int = 32,
-    chunk: int = 2,
+    chunk: int = 1,
     group: int = 1,
     interpret: bool = False,
     ablate: str = "",
