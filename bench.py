@@ -48,18 +48,21 @@ def _time_scalar_fn(make_fn, *args, repeats=8, iters=3):
     return max((tR - t1) / (repeats - 1), 1e-9)
 
 
-def _probe_fused_schedule() -> bool:
-    """Run the PUBLIC fit route once in a SUBPROCESS before betting the
-    headline on it.
+def _probe_fused_schedule(n: int) -> bool:
+    """Run the PUBLIC fit route once in a SUBPROCESS, AT THE HEADLINE
+    SHAPE, before betting the headline on it.
 
     A Mosaic lowering bug aborts the whole process (SIGABRT — round 3's
     BENCH_r03 recorded rc=1 and no number at all), so the probe must be
     isolated.  It reuses chip_smoke's ``public_fit_default`` probe, which
     exercises exactly the specialization the bench runs (exact.fit →
     safe_gram_cholesky_fused(return_winv=True) → the with_w=True kernel
-    variant + cho_solve_panels) — probing a different variant would not
-    guard this one.  On failure the bench falls back to the recursive
-    schedule: the headline degrades instead of vanishing."""
+    variant + cho_solve_panels), and probes at n = BENCH_N: Mosaic
+    lowering failures are shape-dependent (different nc grid / trace
+    specialization), so a small-n pass would not guard the real bench
+    (ADVICE round 4).  GPR_BENCH_PROBE_N overrides.  On failure the bench
+    falls back to the recursive schedule: the headline degrades instead
+    of vanishing."""
     import sys
 
     sys.path.insert(
@@ -67,7 +70,10 @@ def _probe_fused_schedule() -> bool:
     )
     import chip_smoke
 
-    return chip_smoke.run_probe("public_fit_default")["ok"]
+    probe_n = int(os.environ.get("GPR_BENCH_PROBE_N", n))
+    return chip_smoke.run_probe(
+        "public_fit_default", extra_env={"GPR_SMOKE_FIT_N": str(probe_n)}
+    )["ok"]
 
 
 def main():
@@ -102,7 +108,7 @@ def main():
     # caught in-process).  Fallback: the recursive blocked schedule.
     schedule = os.environ.get("GPR_CHOL_SCHEDULE", "fused")
     if on_accel and schedule == "fused":
-        if not _probe_fused_schedule():
+        if not _probe_fused_schedule(n):
             print(
                 "bench: fused-schedule probe FAILED — falling back to "
                 "GPR_CHOL_SCHEDULE=recursive",

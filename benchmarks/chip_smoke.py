@@ -96,16 +96,73 @@ L = gram_cholesky_fused(X, 1.0, 1.0, 1.0, 0.1, form="gaussian",
 assert bool(jnp.isfinite(L[-1, -1])), "NaN tail"
 print("PROBE_OK")
 """,
-    # the full public fit() route (whatever defaults dispatch selects)
+    # the full public fit() route (whatever defaults dispatch selects).
+    # GPR_SMOKE_FIT_N overrides n: bench.py probes at the HEADLINE shape
+    # (Mosaic lowering failures are shape-dependent — a n=1024 pass does
+    # not guard a n=16384 bench; ADVICE round 4)
     "public_fit_default": _COMMON + """
+import os
 from gpr_tpu.gp import exact
 import gpr_tpu
-n, d = 1024, 8
+n = int(os.environ.get("GPR_SMOKE_FIT_N", 1024))
+d = 8
 X = jnp.asarray(np.random.default_rng(2).standard_normal((n, d)), jnp.float32)
 y = jnp.asarray(np.random.default_rng(3).standard_normal((n, 2)), jnp.float32)
 gp = exact.fit(gpr_tpu.Gaussian(2.0, 1.0), X, y, sigma=0.3,
                use_pallas_gram=True)
 assert bool(jnp.all(jnp.isfinite(gp.alpha))), "non-finite alpha"
+print("PROBE_OK")
+""",
+    # NON-ALIGNED n through the public fit: pad-masked fused kernel at
+    # panel=256 (the round-5 arbitrary-n path; reference-realistic scales
+    # n=2500/3773 dispatch through this specialization class)
+    "public_fit_padded": _COMMON + """
+from gpr_tpu.gp import exact
+import gpr_tpu
+n, d, q = 1200, 6, 2
+rng = np.random.default_rng(9)
+X = rng.standard_normal((n, d)).astype(np.float32)
+Y = rng.standard_normal((n, q)).astype(np.float32)
+gp = exact.fit(gpr_tpu.Gaussian(2.0, 1.0), jnp.asarray(X), jnp.asarray(Y),
+               sigma=0.3, use_pallas_gram=True)
+assert gp.alpha.shape == (n, q), gp.alpha.shape
+assert gp.L.shape == (n, n), gp.L.shape
+alpha = np.asarray(gp.alpha).astype(np.float64)
+X64 = X.astype(np.float64)
+sq = ((X64[:, None, :] - X64[None, :, :]) ** 2).sum(-1)
+K = 1.0 * np.exp(-0.5 * sq / 4.0) + 0.09 * np.eye(n)
+ref = np.linalg.solve(K, Y.astype(np.float64))
+err = np.abs(alpha - ref).max() / np.abs(ref).max()
+assert err < 5e-3, err
+print("PROBE_OK")
+""",
+    # ill-conditioned residual probe for the W-emission solve
+    # (cho_solve_panels replaces backward-stable triangular solves with
+    # inverse multiplies; verify accuracy does not collapse when
+    # cond(K) ~ 1e6: long length-scale + tiny noise)
+    "fit_illcond": _COMMON + """
+import gpr_tpu
+from gpr_tpu.gp import exact
+n, d, q = 2048, 4, 2
+rng = np.random.default_rng(11)
+X = rng.standard_normal((n, d)).astype(np.float32)
+Y = rng.standard_normal((n, q)).astype(np.float32)
+k = gpr_tpu.Gaussian(jnp.asarray(3.0, jnp.float32), jnp.asarray(1.0, jnp.float32))
+gp = exact.fit(k, jnp.asarray(X), jnp.asarray(Y), sigma=1e-2,
+               use_pallas_gram=True)
+alpha = np.asarray(gp.alpha).astype(np.float64)
+X64 = X.astype(np.float64)
+sq = ((X64[:, None, :] - X64[None, :, :]) ** 2).sum(-1)
+K = np.exp(-0.5 * sq / 9.0) + 1e-4 * np.eye(n)
+cond = np.linalg.cond(K)
+assert cond > 1e5, f"probe not ill-conditioned (cond={cond:.2e})"
+resid = np.abs(K @ alpha - Y).max() / np.abs(Y).max()
+# f32 forward-error scale: eps * cond ~ 1e-7 * 1e6; the inverse-multiply
+# solve must stay within a small factor of that
+assert resid < 3e-1, (resid, cond)
+ref = np.linalg.solve(K, Y.astype(np.float64))
+pred_err = np.abs(K @ alpha - K @ ref).max() / np.abs(Y).max()
+assert pred_err < 3e-1, (pred_err, cond)
 print("PROBE_OK")
 """,
     # full-fit ACCURACY at a multi-panel scale (nc=8): fused kernel + the
@@ -199,9 +256,11 @@ GROUPS = {
 }
 
 
-def run_probe(name: str, timeout: float = 1200.0):
+def run_probe(name: str, timeout: float = 1200.0, extra_env: dict | None = None):
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gpr_tpu_jax_cache")
+    if extra_env:
+        env.update(extra_env)
     t0 = time.time()
     try:
         proc = subprocess.run(

@@ -97,6 +97,12 @@ def main(argv=None) -> int:
     _root = _cfg.get("general", {}).get(
         "root_dir", os.path.dirname(os.path.abspath(config_path))
     )
+    # a relative root_dir is relative to the CONFIG, not the CWD (the
+    # reference resolves paths against the yaml's location too), and the
+    # study dir may not exist yet on a fresh run
+    if not os.path.isabs(_root):
+        _root = os.path.join(os.path.dirname(os.path.abspath(config_path)), _root)
+    os.makedirs(_root, exist_ok=True)
     out = os.path.join(_root, "drift.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)

@@ -67,8 +67,11 @@ def _factor_and_solve(K, Y, use_crout: bool | None):
                 panel = 128
             while n % panel and panel > 16:
                 panel //= 2
-            return pallas_batched.factor_solve_fused(
-                K, Y, panel=panel, interpret=interp
+            # _diff wrapper: identical primal kernel, plus the fleet
+            # custom_vjp so GPR_FLEET_FUSED_MAX_N stays compatible with
+            # gradient callers (jax.grad(mll_batched), fit_mle_batched)
+            return pallas_batched.factor_solve_fused_diff(
+                K, Y, panel, interp
             )
         import os
 

@@ -678,3 +678,28 @@ def _fsb_bwd(panel, interpret, res, cts):
 
 
 factor_solve_batched_diff.defvjp(_fsb_fwd, _fsb_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def factor_solve_fused_diff(K, Y, panel: int = 128, interpret: bool = False):
+    """``factor_solve_fused`` with the same custom_vjp pullback as
+    ``factor_solve_batched_diff`` — so the opt-in fused fleet path
+    (``GPR_FLEET_FUSED_MAX_N``) stays differentiable: without this,
+    ``jax.grad(mll_batched)`` on the fused branch would hit the raw
+    pallas kernel (no autodiff rule) and error.  The backward pass reuses
+    the panel-stepped fleet solve (diagonal-block inverses re-derived from
+    L; the fused kernel does not emit them)."""
+    return factor_solve_fused(K, Y, panel=panel, interpret=interpret)
+
+
+def _fsf_fwd(K, Y, panel, interpret):
+    L, alpha = factor_solve_fused(K, Y, panel=panel, interpret=interpret)
+    return (L, alpha), (L, alpha)
+
+
+def _fsf_bwd(panel, interpret, res, cts):
+    L, alpha = res
+    return _fsb_bwd(panel, interpret, (L, None, alpha), cts)
+
+
+factor_solve_fused_diff.defvjp(_fsf_fwd, _fsf_bwd)

@@ -167,6 +167,11 @@ def _triu_inv_rec(U, b):
     log2(b) levels x 2 HIGHEST dots — pure MXU work.
 
     Base case: 1-blocks, D0 = diag(1/U_ii)."""
+    if b & (b - 1):
+        # the even/odd sibling pairing at each doubling level is only
+        # correct when every level tiles the matrix exactly; a
+        # non-power-of-two b would silently produce a wrong inverse
+        raise ValueError(f"_triu_inv_rec: block size {b} must be a power of two")
     rows = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
     eye = rows == cols
@@ -526,6 +531,7 @@ def _fused_kernel(
     src_hbm, par_ref, o_hbm, s_hbm, *rest,
     n: int, p: int, b: int, sw: int, nc: int, h: int, g: int,
     form: str | None, ablate: str, scheme: str, with_w: bool,
+    nt: int = 0,
 ):
     if with_w:
         (w_hbm, p_buf, t_buf, r_buf, hl_buf, w_buf,
@@ -587,6 +593,23 @@ def _fused_kernel(
             gc = j * p + cols_i
             if ablate == "gram":  # timing ablation: skip the tile math
                 val = jnp.where(gr == gc, jnp.float32(1000.0), jnp.float32(0.01))
+            elif nt < n:
+                # arbitrary-n padding: rows/cols >= nt are PAD — the padded
+                # Gram is exactly block-diagonal [[K, 0], [0, scale^2 I]],
+                # so the leading (nt, nt) factor equals chol(K + diag*I)
+                # bit-for-bit (left-looking never reads the trailing block)
+                # and a padded-zero RHS solves to exact-zero tail entries.
+                # scale^2 (not 1.0) keeps safe_gram_cholesky_fused's
+                # analytic jitter scale valid for every row.
+                val = _gram_tile(src_hbm[c], yb, y_hi, y_lo, yy, form, par_ref[:], p)
+                sc = par_ref[0, 1]
+                pad = jnp.logical_or(gr >= nt, gc >= nt)
+                val = jnp.where(pad, 0.0, val)
+                val = val + jnp.where(
+                    gr == gc,
+                    par_ref[0, 3] + jnp.where(gr >= nt, sc * sc, 0.0),
+                    0.0,
+                )
             else:
                 val = _gram_tile(src_hbm[c], yb, y_hi, y_lo, yy, form, par_ref[:], p)
                 val = val + jnp.where(gr == gc, par_ref[0, 3], 0.0)
@@ -878,7 +901,7 @@ def _fused_kernel(
 
 def _call_fused(
     src, par, n, dtype, *, panel, block, sw, chunk, group, form, interpret,
-    ablate, scheme=None, with_w=False,
+    ablate, scheme=None, with_w=False, n_true=0,
 ):
     nc = n // panel
     # single/few-panel matrices: the update stream's full-chunk DMA
@@ -890,6 +913,7 @@ def _call_fused(
     kernel = functools.partial(
         _fused_kernel, n=n, p=panel, b=block, sw=sw, nc=nc, h=chunk,
         g=group, form=form, ablate=ablate, scheme=scheme, with_w=with_w,
+        nt=n_true or n,
     )
     itemsize = jnp.dtype(dtype).itemsize
     p, h, g = panel, chunk, group
@@ -1051,15 +1075,23 @@ def _gram_cholesky_fused_jit(
     factorization (reference lib/GaussianProcess.cpp:384-402 Gram build,
     :374-381 noise add, :530-618 inversion) with a single kernel.
 
-    ``X``: (n, d) f32, n % panel == 0; d is zero-padded to a lane multiple
-    (padding leaves pairwise distances unchanged).  NOT differentiable
+    ``X``: (n, d) f32; d is zero-padded to a lane multiple (padding leaves
+    pairwise distances unchanged).  When n is NOT a multiple of ``panel``,
+    X is row-padded to the next multiple and the pad rows are masked
+    in-kernel to an exact identity block ([[K, 0], [0, scale^2 I]] + diag)
+    — the RETURNED factor is then (n_pad, n_pad); callers slice
+    ``L[:n, :n]`` (a leading principal Cholesky factor is exact) and pad
+    their RHS with zeros for the panel solve.  NOT differentiable
     (training via ``fit`` is not differentiated; MLL paths keep the
     two-pass gram -> safe_cholesky route)."""
     if form not in _GRAM_FORMS:
         raise ValueError(f"gram_cholesky_fused: unsupported form {form!r}")
     n, d = X.shape
+    n_true = 0
     if n % panel:
-        raise ValueError(f"gram_cholesky_fused: n ({n}) % panel ({panel}) != 0")
+        n_pad = -(-n // panel) * panel
+        X = jnp.concatenate([X, jnp.zeros((n_pad - n, d), X.dtype)], axis=0)
+        n_true, n = n, n_pad
     dpad = max(128, -(-d // 128) * 128)
     if dpad != d:
         X = jnp.concatenate([X, jnp.zeros((n, dpad - d), X.dtype)], axis=1)
@@ -1072,7 +1104,7 @@ def _gram_cholesky_fused_jit(
     return _call_fused(
         X3, par, n, X.dtype, panel=panel, block=block, sw=sw, chunk=chunk,
         group=group, form=form, interpret=interpret, ablate=ablate,
-        scheme=diag_scheme, with_w=return_winv,
+        scheme=diag_scheme, with_w=return_winv, n_true=n_true,
     )
 
 
@@ -1188,7 +1220,13 @@ def cho_solve_panels(L: jax.Array, W: jax.Array, B: jax.Array) -> jax.Array:
     Static python loops over the nc panels; every slice is static.
     Numerics: TRSM-via-TRTRI per panel block (same scheme, and the same
     jitter-guarded-SPD conditioning argument, as the kernel's in-dispatch
-    panel solve)."""
+    panel solve).  The explicit inverse-multiply trades the backward-stable
+    triangular solve for GEMM throughput; the error grows with cond(L_jj)
+    <= sqrt(cond(K)).  ``GPR_FIT_SCHEDULE=twopass`` is the documented
+    stability fallback (separate gram -> safe_cholesky -> blocked
+    triangular solves); benchmarks/chip_smoke.py carries a standing
+    ill-conditioned probe (``fit_illcond``) that asserts the residual of
+    this path on a cond ~1e6 system."""
     from ..utils.config import matmul_precision
 
     prec = matmul_precision()

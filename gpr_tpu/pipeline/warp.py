@@ -2,12 +2,16 @@
 
 Replaces the reference's ITK warping stack (reference
 include/itkUtils.h:1098-1158 ``WarpImage``/``WarpImage2``: WarpImageFilter +
-B-spline interpolation) with a vectorized JAX resampler: the warped value at
-voxel x is image(x + d(x)/spacing) via ``map_coordinates`` (order 1 =
-trilinear; ITK's WarpImageFilter semantics with physical-space
-displacements).  Also provides displacement magnitudes (itkUtils.h:1172-1180)
-and the diff-image evaluation used by the reference pipeline
-(scripts/main.py:336-405).
+B-spline interpolation set at :1139-1146) with a vectorized JAX resampler:
+the warped value at voxel x is image(x + d(x)/spacing) (ITK's
+WarpImageFilter semantics with physical-space displacements).  Orders 0/1
+route through ``jax.scipy.ndimage.map_coordinates``; order 3 — the
+reference's DEFAULT interpolator, and the default here for ``warp_image``
+— through :mod:`gpr_tpu.pipeline.bspline` (cubic B-spline prefilter +
+4-tap kernel, mirror boundaries, matching ITK's
+BSplineInterpolateImageFunction and scipy's mode='mirror').  Also provides
+displacement magnitudes (itkUtils.h:1172-1180) and the diff-image
+evaluation used by the reference pipeline (scripts/main.py:336-405).
 """
 
 from __future__ import annotations
@@ -32,8 +36,8 @@ def warp_array(
     The displacement is in PHYSICAL units with components ordered (dx, dy,
     dz) — x fastest, like the reference's DVFs — and is divided by the voxel
     spacing (sx, sy, sz) to get index-space offsets.  order=1 trilinear
-    (map_coordinates supports 0/1; the reference defaults to cubic B-spline,
-    order=3 — trilinear is the standard fast path)."""
+    (fast path), order=3 cubic B-spline (the reference's default
+    interpolator; mirror boundaries — ``mode`` is ignored for order 3)."""
     image = jnp.asarray(image)
     displacement = jnp.asarray(displacement)
     nd = image.ndim
@@ -47,14 +51,20 @@ def warp_array(
         grid[ax] + displacement[..., nd - 1 - ax] / spacing[nd - 1 - ax]
         for ax in range(nd)
     ]
+    if order == 3:
+        from .bspline import map_coordinates_cubic
+
+        return map_coordinates_cubic(image, coords)
     return jax.scipy.ndimage.map_coordinates(image, coords, order=order, mode=mode)
 
 
 def warp_image(
-    img: imageio.Image, df: imageio.Image, order: int = 1
+    img: imageio.Image, df: imageio.Image, order: int = 3
 ) -> imageio.Image:
     """Warp a scalar Image by a displacement-field Image (reference
-    WarpImage, itkUtils.h:1098-1114 — output geometry follows the field)."""
+    WarpImage, itkUtils.h:1098-1114 — output geometry follows the field).
+    Default order 3 = cubic B-spline, the reference's interpolator
+    (itkUtils.h:1139-1146); pass order=1 for the trilinear fast path."""
     if df.ncomponents < 2:
         raise ValueError("warp_image: displacement field must be vector-valued")
     warped = warp_array(
