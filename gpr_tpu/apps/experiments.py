@@ -169,6 +169,17 @@ def run_experiment(config_path: str) -> int:
             json.dump(
                 {str(k): v for k, v in stats["percentiles"].items()}, f, indent=2
             )
+        # the reference's fig5 artifact set (validation_dvf.py:110-198):
+        # percentile bands + median error over time OVERLAID with the GP
+        # credible interval read from gpr-credibleInterval.csv, plus the
+        # errbars .npy companions
+        from . import tikz
+
+        tex_path = tikz.export_validation_tikz(
+            root, stats, subdir=subdir,
+            credible_csv=gpr_prefix + "-credibleInterval.csv",
+        )
+        print(f"plot artifact: {tex_path}")
         print("[done]")
     return 0
 

@@ -33,7 +33,10 @@ def save_prediction(vectors, output_dir: str, reference_file: str) -> None:
     from ..pipeline import imageio
 
     ref = imageio.read_image(reference_file)
-    n_comp = 3
+    # the reference binary is 3-D-only (hardcodes 3 components); follow
+    # the master volume instead so 2-D+t tracking fields round-trip
+    # (examples/params/matrix/config_tracking_2d.yaml)
+    n_comp = ref.ncomponents if ref.ncomponents > 1 else 3
     for i, v in enumerate(vectors):
         npix = np.asarray(v).size // n_comp
         shape = ref.data.shape[: -1] if ref.ncomponents > 1 else ref.data.shape

@@ -103,6 +103,16 @@ def test_full_experiment(experiment_tree):
     assert ev["50"] < 0.05
     assert ev["99"] < 0.2
 
+    # combined error-vs-time + credible-interval overlay artifact
+    # (reference validation_dvf.py:149-198 fig5) lands with the run
+    tex_path = root / "credible_interval_test_.tex"
+    assert tex_path.exists()
+    tex = tex_path.read_text()
+    assert "\\closedcycle" in tex                 # error percentile bands
+    assert "axis y line*=right" in tex            # CI overlay axis
+    assert "confidence value" in tex
+    assert (root / "errbars.npy").exists()
+
 
 def test_directory_of_configs(experiment_tree):
     root, cfg_path = experiment_tree
@@ -172,6 +182,78 @@ def test_shipped_config_with_splitting(tmp_path):
     with open(tmp_path / "evaluation.json") as f:
         ev = json.load(f)
     assert ev["50"] < 0.5
+
+
+def test_config_matrix_sweep(tmp_path):
+    """The pmb/tracking-style production config matrix (VERDICT round-4
+    item 9; reference scripts/params/pmb/ + tracking/): all 8 checked-in
+    matrix configs run green in DIR MODE against per-study synthetic data
+    — AR on/off, sparse, kernel families, fixed window, drift base,
+    2-D+t tracking — and the drift config additionally sweeps windows via
+    apps.drift."""
+    import shutil
+    import sys
+
+    import yaml
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "examples"))
+    try:
+        from make_synthetic_study import make_ar_study, make_study
+    finally:
+        sys.path.pop(0)
+
+    matrix_src = os.path.join(repo, "examples", "params", "matrix")
+    names = sorted(f for f in os.listdir(matrix_src) if f.endswith(".yaml"))
+    assert len(names) >= 6, names
+
+    cfg_dir = tmp_path / "configs"
+    cfg_dir.mkdir()
+    roots = {}
+    for name in names:
+        with open(os.path.join(matrix_src, name)) as f:
+            cfg = yaml.safe_load(f)
+        root = tmp_path / "studies" / name.replace(".yaml", "")
+        if "_ar" in name:
+            make_ar_study(str(root))  # pre-split sweep layout
+        else:
+            make_study(
+                str(root), n_frames=50,
+                field_ncomp=2 if "tracking" in name else 3,
+            )
+        cfg["general"]["root_dir"] = str(root)
+        with open(cfg_dir / name, "w") as f:
+            yaml.safe_dump(cfg, f, sort_keys=False)
+        roots[name] = root
+
+    # dir mode: one sweep over the whole matrix (run_experiments.py mode)
+    assert experiments.main([str(cfg_dir)]) == 0
+
+    for name, root in roots.items():
+        assert (root / "evaluation.json").exists(), name
+        preds = os.listdir(root / "reg3d" / "test_pred")
+        # AR: one prediction per 2-frame sweep (5 test sweeps)
+        assert len(preds) == (5 if "_ar" in name else 10), (name, preds)
+        if "sparse" in name:
+            assert (root / "reg3d" / "gpr" / "gpr-sparse.npz").exists()
+        else:
+            assert (root / "reg3d" / "gpr" / "gpr-ParameterFile.txt").exists()
+        # the synthetic map is learnable in every mode: sanity error bound
+        with open(root / "evaluation.json") as f:
+            ev = json.load(f)
+        assert ev["50"] < 1.0, (name, ev)
+
+    # drift windows on the drift config (reference drift_analysis.sh:42-50)
+    from gpr_tpu.apps import drift
+
+    drift_cfg = str(cfg_dir / "config_pmb_vol05_drift.yaml")
+    assert drift.main([drift_cfg, "20", "0,8"]) == 0
+    droot = roots["config_pmb_vol05_drift.yaml"]
+    with open(droot / "drift.json") as f:
+        dj = json.load(f)
+    assert set(dj) == {"win0000", "win0008"}, set(dj)
+
+    shutil.rmtree(tmp_path / "studies")
 
 
 def test_external_stage_gating(tmp_path):

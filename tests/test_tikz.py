@@ -53,3 +53,13 @@ def test_export_validation_tikz(tmp_path):
     )
     assert tex_voi.endswith("_VOI.tex")
     assert os.path.exists(tmp_path / "VOI" / "errbars_exp1.npy")
+
+    # the COMBINED overlay contract (reference validation_dvf.py:149-198):
+    # ONE .tex holding the error-vs-time bands + median on the left axis
+    # AND the credible-interval curve on the right axis
+    tex = open(tex_path).read()
+    assert tex.count("\\closedcycle") == 3          # percentile bands
+    assert "median" in tex                            # error median curve
+    assert "axis y line*=right" in tex                # CI overlay axis
+    assert "confidence value" in tex
+    assert tex.count("\\end{axis}") == 2
