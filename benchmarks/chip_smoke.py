@@ -96,6 +96,26 @@ L = gram_cholesky_fused(X, 1.0, 1.0, 1.0, 0.1, form="gaussian",
 assert bool(jnp.isfinite(L[-1, -1])), "NaN tail"
 print("PROBE_OK")
 """,
+    # the round-5 default scheme: fused pivot pairs
+    "fused_matrix_stat2": _COMMON + """
+from gpr_tpu.ops.pallas_fullchol import cholesky_fused
+n = 1024
+a = jnp.asarray(np.random.default_rng(0).standard_normal((n, 64)), jnp.float32)
+A = a @ a.T + n * jnp.eye(n, dtype=jnp.float32)
+L = cholesky_fused(A, diag_scheme="stat2")
+err = float(jnp.max(jnp.abs(jnp.tril(L @ L.T) - jnp.tril(A))))
+assert err < 1e-2 * n, err
+print("PROBE_OK")
+""",
+    "fused_gram_stat2": _COMMON + """
+from gpr_tpu.ops.pallas_fullchol import gram_cholesky_fused
+n, d = 1024, 8
+X = jnp.asarray(np.random.default_rng(1).standard_normal((n, d)), jnp.float32)
+L = gram_cholesky_fused(X, 1.0, 1.0, 1.0, 0.1, form="gaussian",
+                        diag_scheme="stat2")
+assert bool(jnp.isfinite(L[-1, -1])), "NaN tail"
+print("PROBE_OK")
+""",
     # the full public fit() route (whatever defaults dispatch selects).
     # GPR_SMOKE_FIT_N overrides n: bench.py probes at the HEADLINE shape
     # (Mosaic lowering failures are shape-dependent — a n=1024 pass does

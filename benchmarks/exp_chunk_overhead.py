@@ -62,7 +62,7 @@ def main():
             continue
         cfg = hmc.HMCConfig(
             num_samples=T, num_warmup=0, num_leapfrog=8,
-            initial_step_size=0.02, adapt_step_size=False, adapt_mass=False,
+            initial_step_size=0.02, jitter_steps=False,
         )
         # warm: compile + one full run
         r = hmc.sample_hmc_chunked(logp, z0, key, cfg, chunk_size=chunk)

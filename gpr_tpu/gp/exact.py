@@ -186,11 +186,13 @@ class GP:
     def materialize(self) -> "GP":
         """Return a GP with the Cholesky factor restored (one O(n^3)
         factorization).  Call once before repeated posterior_cov /
-        credible_interval queries on an efficient-storage model: each
+        credible_interval queries on an efficient-storage model — each
         query otherwise recomputes the factor from scratch (the reference
         caches its lazily-recomputed CoreMatrix,
         lib/GaussianProcess.cpp:95-97; an immutable pytree cannot, so the
-        caching is explicit here)."""
+        caching is explicit here) — or before ``extend``/``shrink``/
+        ``loo_cv`` on a :func:`load`-ed model (those need the factor; the
+        loaded ``core`` serves only the covariance-path solves)."""
         if self.L is not None:
             return self
         return dataclasses.replace(self, L=self._require_core())

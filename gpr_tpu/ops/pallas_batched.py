@@ -212,8 +212,14 @@ def crout_chol_wi(
     return pl.pallas_call(
         kernel,
         compiler_params=pltpu.CompilerParams(
+            # measured scoped-stack peaks on v5e: 17.27M at (g=2, b=128),
+            # 25.75M at (g=3, b=128) — the static-unrolled column sweep's
+            # stack grows superlinearly in g at large b, so budget with
+            # ~2.7M per (g, b^2) tile plus 18M headroom (the round-4
+            # additive 16M cap ABORTED compiles at odd small fleets, e.g.
+            # the (3, 128, 128) bwd-path solve)
             vmem_limit_bytes=min(
-                10 * g * b * b * A.dtype.itemsize + (16 << 20), 100 << 20
+                42 * g * b * b * A.dtype.itemsize + (18 << 20), 100 << 20
             )
         ),
         out_shape=(

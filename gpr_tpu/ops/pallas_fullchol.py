@@ -70,19 +70,20 @@ _HI = jax.lax.Precision.HIGHEST
 def _default_diag_scheme() -> str:
     """Diagonal-factor scheme when the caller passes ``diag_scheme=None``.
 
-    'stat' is the round-4 measured winner (paired on-chip slope A/Bs at
-    n=16k, gram mode): strip 35.6 / rv 35.0 / head 35.5 / **stat 33.4** —
-    static-unrolled strips (constant masks), a 4-stage per-pivot serial
-    chain (rsqrt + row placement deferred off-chain), and the V sweep as
-    a recursive-doubling pure-GEMM inverse.  'strip' is the round-3
-    config; 'aug' (augmented heads) measured equal to strip after its
-    Mosaic iota-slice abort was fixed — both stay as opt-ins.
+    'stat2' is the round-5 measured winner (paired on-chip slope A/Bs at
+    n=16k, gram mode, block=128/sw=32/c1g1): stat 30.95 / **stat2
+    29.08** / stat2+sw64 29.8 — the stat scheme with pivot PAIRS fused
+    into one rank-2 elimination (~5-6 dependent stages per two pivots vs
+    8; see ``_strip_factor_static2``).  Round-4 ladder at the older
+    config: strip 35.6 / rv 35.0 / head 35.5 / stat 33.4.  'strip' is
+    the round-3 config; 'aug' (augmented heads) measured equal to strip
+    after its Mosaic iota-slice abort was fixed — all stay as opt-ins.
 
     NOTE: the env var is resolved HERE, in the non-jitted entry wrappers,
     so it is honored per-call — but a jit cache keyed on the resolved
     scheme means flipping the var mid-process gives a fresh compile, not a
     silent no-op (ADVICE.md round 3)."""
-    return os.environ.get("GPR_FUSED_DIAG", "stat")
+    return os.environ.get("GPR_FUSED_DIAG", "stat2")
 
 
 def _rem2(i):
@@ -228,6 +229,92 @@ def _strip_factor_static(A, b, sw):
             ) * rowm
             u = rowm * jax.lax.rsqrt(pivot)  # off-chain
             U_acc = U_acc + u * (sub_s == r).astype(A.dtype)
+        strip = U_acc
+        in_strip = jnp.logical_and(row_ids >= j0, row_ids < j0 + sw)
+        strip_full = jax.lax.dot_general(
+            E, strip, (((1,), (0,)), ((), ())), preferred_element_type=A.dtype,
+            precision=_HI,
+        )
+        A = jnp.where(in_strip, strip_full, A)
+        upd = jax.lax.dot_general(
+            strip, strip, (((0,), (0,)), ((), ())),
+            preferred_element_type=A.dtype, precision=_HI,
+        )
+        A = jnp.where(row_ids >= j0 + sw, A - upd, A)
+    cols_b = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    return jnp.where(row_ids <= cols_b, A, 0.0)
+
+
+def _strip_factor_static2(A, b, sw):
+    """``_strip_factor_static`` with PIVOT PAIRS fused: one rank-2
+    elimination per two pivots (classic block-2 Gaussian elimination).
+
+    The stat scheme's serial chain is ~4 dependent vector stages per
+    pivot (reduce -> reciprocal -> scale -> subtract); n pivots is
+    inherent to Cholesky, but two pivots share one reduce stage and one
+    combined rank-2 subtract:
+
+      stage 1  c1 = S e_j, c2raw = S e_{j+1}      (parallel masked reduces)
+      stage 2  inv1 = 1/p1                         (p1 = c1[r] static slice)
+      stage 3  l = a*inv1;  p2 = p2raw - a^2*inv1;
+               row2' = row2 - l*row1;  c2' = c2raw - l*c1
+      stage 4  inv2 = 1/p2;  t1 = (c1*inv1)*row1m
+      stage 5  S -= mask*(t1 + (c2'*inv2)*row2'm)
+
+    ~5-6 dependent stages per TWO pivots vs 8 — measured on v5e (round
+    5): the diagonal-factor residue drops from the stat scheme's 3.44 ms
+    (n=16k, diag-ablation delta).  The rsqrt factor-row emissions stay
+    off-chain exactly as in stat.  Requires even ``sw``."""
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+    sub_s = jax.lax.broadcasted_iota(jnp.int32, (sw, 1), 0)
+    e_rows = jax.lax.broadcasted_iota(jnp.int32, (b, sw), 0)
+    e_cols = jax.lax.broadcasted_iota(jnp.int32, (b, sw), 1)
+    if sw % 2:
+        raise ValueError(f"_strip_factor_static2: sw ({sw}) must be even")
+
+    for jb in range(b // sw):
+        j0 = jb * sw
+        E = (e_rows == e_cols + j0).astype(A.dtype)  # (b, sw) one-hot
+        strip = jax.lax.dot_general(
+            E, A, (((0,), (0,)), ((), ())), preferred_element_type=A.dtype,
+            precision=_HI,
+        )  # (sw, b)
+        U_acc = jnp.zeros_like(strip)
+        for r in range(0, sw, 2):
+            j, j2 = j0 + r, j0 + r + 1
+            one1 = (lane_s == j).astype(A.dtype)
+            one2 = (lane_s == j2).astype(A.dtype)
+            m1 = (lane_s >= j).astype(A.dtype)
+            m2 = (lane_s >= j2).astype(A.dtype)
+            below = (sub_s > r + 1).astype(A.dtype)
+            # stage 1: both pivot columns in parallel masked reduces
+            c1 = jnp.sum(strip * one1, axis=1, keepdims=True)  # (sw, 1)
+            c2raw = jnp.sum(strip * one2, axis=1, keepdims=True)
+            p1 = c1[r : r + 1, :]           # (1, 1) static slices
+            a = c1[r + 1 : r + 2, :]        # A[j2, j] (symmetry)
+            p2raw = c2raw[r + 1 : r + 2, :]
+            row1 = strip[r : r + 1, :]
+            row2 = strip[r + 1 : r + 2, :]
+            # stage 2
+            inv1 = 1.0 / p1
+            # stage 3: eliminate pivot j from the (j+1) row/column/pivot
+            l21 = a * inv1
+            p2 = p2raw - a * a * inv1
+            row2e = row2 - l21 * row1
+            c2 = c2raw - l21 * c1
+            # stages 4-5: combined rank-2 elimination of rows > r+1
+            inv2 = 1.0 / p2
+            t = (c1 * inv1) * (row1 * m1) + (c2 * inv2) * (row2e * m2)
+            strip = strip - below * t
+            # off-chain factor-row emissions
+            u1 = (row1 * m1) * jax.lax.rsqrt(p1)
+            u2 = (row2e * m2) * jax.lax.rsqrt(p2)
+            U_acc = (
+                U_acc
+                + u1 * (sub_s == r).astype(A.dtype)
+                + u2 * (sub_s == r + 1).astype(A.dtype)
+            )
         strip = U_acc
         in_strip = jnp.logical_and(row_ids >= j0, row_ids < j0 + sw)
         strip_full = jax.lax.dot_general(
@@ -449,6 +536,11 @@ def _factor_diag_wi(D, p, b, sw, scheme="aug"):
             # chain) + recursive-doubling inverse
             U = _strip_factor_static(_mirror_lower(S, b), b, sw)
             V = _triu_inv_rec(U, b)
+        elif scheme == "stat2":
+            # stat with fused pivot PAIRS: one rank-2 elimination per two
+            # pivots (~5-6 dependent stages per pair vs 8)
+            U = _strip_factor_static2(_mirror_lower(S, b), b, sw)
+            V = _triu_inv_rec(U, b)
         elif scheme == "head":
             # serial elimination confined to (sw, sw) heads; wide strips
             # via GEMM vs the head inverse; V by recursive doubling
@@ -534,10 +626,10 @@ def _fused_kernel(
     nt: int = 0,
 ):
     if with_w:
-        (w_hbm, p_buf, t_buf, r_buf, hl_buf, w_buf,
+        (w_hbm, p_buf, t_buf, r_buf, hl_buf, z_buf, w_buf,
          sem_in, sem_t, sem_r, sem_z, sem_o, sem_hl, sem_w) = rest
     else:
-        (p_buf, t_buf, r_buf, hl_buf,
+        (p_buf, t_buf, r_buf, hl_buf, z_buf,
          sem_in, sem_t, sem_r, sem_z, sem_o, sem_hl) = rest
     j = pl.program_id(0)
     f32 = p_buf.dtype
@@ -618,10 +710,22 @@ def _fused_kernel(
 
         jax.lax.fori_loop(j, nc, fill, 0)
 
-    # --- 2. strict-upper chunks: zeros out (f32 + packed), overlap step 3 --
+    # --- 2. strict-upper chunks: zeros out, overlap step 3.  The zeros
+    # stream from ONE dedicated (p, p) buffer (j concurrent DMAs reading
+    # the same source) — the round-4 per-chunk p_buf VPU fills cost
+    # ~0.5 GB of vector writes per factorization for bytes that are
+    # never read back
+    z_buf[...] = jnp.zeros((p, p), f32)
+
+    def out_zero(c):
+        return pltpu.make_async_copy(
+            z_buf,
+            o_hbm.at[pl.ds(c * p, p), pl.ds(j * p, p)],
+            sem_z,
+        )
+
     def zbody(c, _):
-        p_buf[c] = jnp.zeros((p, p), f32)
-        out_cp(c, sem_z).start()
+        out_zero(c).start()
         return 0
 
     jax.lax.fori_loop(0, j, zbody, 0)
@@ -878,7 +982,7 @@ def _fused_kernel(
 
     # --- 6. drain (step j+1 reads column j back as update operands) --------
     def zwait(c, _):
-        out_cp(c, sem_z).wait()
+        out_zero(c).wait()
         return 0
 
     jax.lax.fori_loop(0, j, zwait, 0)
@@ -922,6 +1026,7 @@ def _call_fused(
         + 2 * g * (h * p) * 2 * p * 2       # t_buf (bf16, hi|lo packed)
         + 2 * g * p * 2 * p * 2             # r_buf
         + 2 * p * 2 * p * 2                 # hl_buf
+        + p * p * itemsize                  # z_buf
         + 14 * p * p * itemsize             # diag-factor value blocks
         + (src.size * itemsize if form is not None else 0)  # features
     ) + (24 << 20)
@@ -939,6 +1044,7 @@ def _call_fused(
         pltpu.VMEM((2, g, h * p, 2 * p), jnp.bfloat16),  # t_buf
         pltpu.VMEM((2, g, p, 2 * p), jnp.bfloat16),      # r_buf
         pltpu.VMEM((2, p, 2 * p), jnp.bfloat16),         # hl_buf
+        pltpu.VMEM((p, p), dtype),                       # z_buf (zeros)
     ]
     sems = [
         pltpu.SemaphoreType.DMA(()),                     # sem_in

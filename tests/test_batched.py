@@ -222,6 +222,7 @@ class TestCroutFleet:
                                    atol=2e-3)
         assert not np.any(np.triu(np.asarray(L), 1))
 
+    @pytest.mark.slow
     def test_cho_solve_batched(self):
         from gpr_tpu.ops import pallas_batched as pb
 
@@ -245,6 +246,7 @@ class TestCroutFleet:
         np.testing.assert_allclose(np.asarray(got.L), np.asarray(ref.L),
                                    rtol=0, atol=2e-3)
 
+    @pytest.mark.slow
     def test_winv_reuse_matches(self):
         from gpr_tpu.ops import pallas_batched as pb
 
@@ -259,6 +261,7 @@ class TestCroutFleet:
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
                                    rtol=0, atol=1e-5)
 
+    @pytest.mark.slow
     def test_factor_solve_fused(self):
         from gpr_tpu.ops import pallas_batched as pb
 

@@ -82,7 +82,7 @@ class TestMatrixMode:
         assert np.abs(L - Lr).max() / np.abs(Lr).max() < 3e-3
         assert np.all(np.triu(L, 1) == 0.0)
 
-    @pytest.mark.parametrize("scheme", ["rv", "stat", "head"])
+    @pytest.mark.parametrize("scheme", ["rv", "stat", "stat2", "head"])
     def test_alt_diag_schemes_match_numpy(self, rng, scheme):
         # alternative diagonal-factor schemes (GPR_FUSED_DIAG):
         #   rv    strip factor + recursive-doubling inverse

@@ -40,6 +40,7 @@ def test_hmc_standard_normal():
     assert np.all(ess > 100), ess
 
 
+@pytest.mark.slow
 def test_hmc_gp_posterior_mode_matches_map(rng):
     """The HMC posterior over GP hyperparameters concentrates near the MAP
     point estimate (the reference's MaximumAPosterioriTest recovers its

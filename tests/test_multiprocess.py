@@ -62,6 +62,7 @@ def _wait_all(procs):
         assert p.returncode == 0, f"worker failed:\n{out}"
 
 
+@pytest.mark.slow
 def test_two_process_mesh_matches_single_process(tmp_path):
     coordinator = f"127.0.0.1:{_free_port()}"
     _wait_all([_launch(coordinator, 2, i, tmp_path) for i in range(2)])

@@ -56,6 +56,7 @@ class TestNUTSGaussian:
 
 
 class TestNUTSOnGP:
+    @pytest.mark.slow
     def test_matches_hmc_posterior(self):
         """NUTS and HMC must agree on the GP hyperparameter posterior
         within Monte-Carlo error (the north-star consistency check)."""
@@ -137,6 +138,7 @@ def test_nuts_windowed_warmup_metric():
     np.testing.assert_allclose(s.std(0), np.asarray(scales), rtol=0.3)
 
 
+@pytest.mark.slow
 def test_nuts_chunked_matches_scan():
     """sample_nuts_chunked reproduces sample_nuts over a short run (same
     key flow; unrolled programs round differently, so short runs only —

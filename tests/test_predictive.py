@@ -61,6 +61,7 @@ class TestPredictive:
             > np.asarray(res.variance_per_draw).mean(0) + 1e-4
         )
 
+    @pytest.mark.slow
     def test_end_to_end_with_hmc(self, dataset):
         """HMC draws -> thinned -> averaged prediction beats noise floor."""
         X, Y = dataset

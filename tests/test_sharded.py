@@ -43,11 +43,13 @@ class TestShardedGram:
 
 class TestShardedCholesky:
     @pytest.mark.parametrize("n", [32, 128])
+    @pytest.mark.slow
     def test_matches_numpy(self, mesh, n):
         A = _spd(n)
         L = np.tril(np.asarray(sg.cholesky_sharded(jnp.asarray(A), mesh)))
         np.testing.assert_allclose(L, np.linalg.cholesky(A), atol=1e-9 * n)
 
+    @pytest.mark.slow
     def test_solve(self, mesh):
         n = 64
         A = _spd(n, seed=1)
@@ -98,6 +100,7 @@ class TestShardedCholesky:
 
 
 class TestShardedFit:
+    @pytest.mark.slow
     def test_matches_exact_fit(self, mesh):
         """Sharded training must reproduce the single-device alpha and
         logdet (the north-star 'bit-matched posterior moments' requirement
@@ -122,6 +125,7 @@ class TestShardedFit:
 
 
 class TestShardedNUTS:
+    @pytest.mark.slow
     def test_nuts_chains_over_mesh(self):
         """NUTS through the sharded driver: psum'd adaptation, correct
         moments."""
@@ -149,6 +153,7 @@ class TestShardedChunked:
     the python chunk loop stays at host level; each jitted chunk program is
     shard_mapped over the mesh."""
 
+    @pytest.mark.slow
     def test_matches_single_device_chunked(self):
         """Sharded-chunked draws must BITWISE match the single-device
         chunked sampler: per-chain keys are sliced from the same global key
@@ -181,6 +186,7 @@ class TestShardedChunked:
                 np.asarray(res.inv_mass), np.asarray(ref.inv_mass)
             )
 
+    @pytest.mark.slow
     def test_windowed_warmup_and_remainder_chunks(self):
         """Windowed warmup (Stan-style expanding windows) and a chunk size
         that doesn't divide the stage lengths exercise the remainder chunk
@@ -209,6 +215,7 @@ class TestShardedChunked:
         )
         assert float(res.step_size) == float(ref.step_size)
 
+    @pytest.mark.slow
     def test_nuts_matches_single_device_chunked(self):
         """Sharded-chunked NUTS (the NUTS counterpart of the production
         multi-chip path) must bitwise-match the single-device chunked
@@ -265,6 +272,7 @@ class TestDeterminism:
         )
         assert float(r1.step_size) == float(r2.step_size)
 
+    @pytest.mark.slow
     def test_sharded_fit_deterministic(self):
         if len(jax.devices()) < 8:
             pytest.skip("needs 8 virtual devices")
@@ -305,6 +313,7 @@ class TestShardedWindowedNUTS:
         assert im[1] / im[0] > 100
 
 
+@pytest.mark.slow
 def test_safe_cholesky_sharded_escalates():
     """A singular sharded K recovers via jitter escalation (parity with
     the single-device safe_cholesky); a healthy K uses zero jitter."""
