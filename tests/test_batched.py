@@ -36,6 +36,36 @@ def test_mll_batched_grad_matches_stock_path():
         np.testing.assert_allclose(float(a), float(b), rtol=1e-3, atol=1e-5)
 
 
+def test_mll_batched_grad_fused_branch(monkeypatch):
+    """ADVICE round 4: with GPR_FLEET_FUSED_MAX_N set, the fused
+    one-dispatch fleet branch must stay differentiable
+    (factor_solve_fused_diff carries the same custom_vjp pullbacks as
+    the panel-stepped path)."""
+    import importlib
+
+    import jax
+
+    from gpr_tpu.ops import pallas_batched
+
+    monkeypatch.setattr(pallas_batched, "_FLEET_FUSED_MAX_N", 512)
+    rng = np.random.default_rng(7)
+    B, n, d = 2, 64, 3
+    X = jnp.asarray(rng.standard_normal((B, n, d)).astype(np.float32))
+    Y = jnp.asarray(np.sin(np.asarray(X).sum(-1, keepdims=True)).astype(np.float32))
+
+    def loss(params, use_crout):
+        s, sc = params
+        k = gpr_tpu.Gaussian(s, sc)
+        return jnp.sum(batched.mll_batched(k, X, Y, 0.2, use_crout=use_crout))
+
+    p0 = (jnp.asarray(1.7), jnp.asarray(0.9))
+    v_fused, g_fused = jax.value_and_grad(lambda p: loss(p, True))(p0)
+    v_ref, g_ref = jax.value_and_grad(lambda p: loss(p, False))(p0)
+    np.testing.assert_allclose(float(v_fused), float(v_ref), rtol=1e-5)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-3, atol=1e-5)
+
+
 def test_fit_mle_batched_recovers_per_member_params():
     """Fleet-scale MLE: two members with DIFFERENT true lengthscales must
     move toward their own optima in one optimizer loop (the summed
