@@ -1030,10 +1030,10 @@ def _call_fused(
         + 14 * p * p * itemsize             # diag-factor value blocks
         + (src.size * itemsize if form is not None else 0)  # features
     ) + (24 << 20)
-    src_spec = pl.BlockSpec(memory_space=pltpu.ANY if form is None else pltpu.VMEM)
+    src_spec = pl.BlockSpec(memory_space=pl.ANY if form is None else pltpu.VMEM)
     out_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((n, n), dtype),                 # L (f32)
@@ -1055,7 +1055,7 @@ def _call_fused(
         pltpu.SemaphoreType.DMA((2,)),                   # sem_hl
     ]
     if with_w:
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shape.append(jax.ShapeDtypeStruct((nc, p, p), dtype))  # W panels
         scratch.append(pltpu.VMEM((p, p), dtype))                  # w_buf
         sems.append(pltpu.SemaphoreType.DMA(()))                   # sem_w

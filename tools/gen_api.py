@@ -29,6 +29,7 @@ MODULES = [
     "gpr_tpu.pipeline.pca", "gpr_tpu.pipeline.autoregression",
     "gpr_tpu.pipeline.imageio", "gpr_tpu.pipeline.filters",
     "gpr_tpu.pipeline.dataparser", "gpr_tpu.pipeline.warp",
+    "gpr_tpu.pipeline.bspline",
     "gpr_tpu.data.prep", "gpr_tpu.data.dicom",
     "gpr_tpu.utils.matrixio", "gpr_tpu.utils.native", "gpr_tpu.utils.config",
     "gpr_tpu.utils.logutils", "gpr_tpu.utils.profiling",
