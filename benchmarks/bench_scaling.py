@@ -136,7 +136,7 @@ def main():
             "validates the harness/sharding; run on real multi-chip "
             "hardware for the BASELINE >=80% (1->2 hosts) figure"
         )
-    out = os.path.join(_REPO, "SCALING.json")
+    out = os.environ.get("GPR_SCALING_OUT", os.path.join(_REPO, "SCALING.json"))
     with open(out, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps({"written": out, "efficiency": summary["efficiency_vs_linear"]}))

@@ -127,6 +127,8 @@ def test_scaling_harness_writes_artifact(tmp_path, monkeypatch):
     script = os.path.join(repo, "benchmarks", "bench_scaling.py")
     monkeypatch.setenv("GPR_SCALING_T", "8")
     monkeypatch.setenv("GPR_SCALING_CHUNK", "8")
+    out = str(tmp_path / "SCALING.json")
+    monkeypatch.setenv("GPR_SCALING_OUT", out)
     monkeypatch.setattr(sys, "argv", [script, "2", "32"])
     # redirect the artifact into the tmpdir (bench_scaling writes to its
     # repo-root constant; patch after import via module dict)
@@ -145,7 +147,6 @@ def test_scaling_harness_writes_artifact(tmp_path, monkeypatch):
     assert {r["devices"] for r in rows} == {1, 2, 4, 8}
     assert all(r["samples_per_s"] > 0 for r in rows)
     assert abs(rows[0]["efficiency"] - 1.0) < 1e-9
-    out = os.path.join(repo, "SCALING.json")
     assert os.path.exists(out)
     with open(out) as f:
         summary = json.load(f)
