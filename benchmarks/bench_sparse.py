@@ -62,13 +62,13 @@ def main():
             def f(X, Y, s):
                 acc = jnp.float32(0.0)
                 for _ in range(repeats):
-                    sgp = sparse.fit_sparse(kernel, Z, X + acc * 1e-30, Y, s)
+                    sgp = sparse.fit_sparse(kernel, Z, X + acc * 1e-30, Y, s, jitter=1e-4)
                     acc = jnp.sum(sgp.alpha[-1])
                 return acc
 
             return f
 
-        t_fit = _time_scalar_fn(make_fit, X, Y, sigma, repeats=4)
+        t_fit = _time_scalar_fn(make_fit, X, Y, sigma, repeats=12, iters=5)
 
         def make_mllg(repeats, Z=Z):
             @jax.jit
@@ -78,7 +78,8 @@ def main():
                     def obj(logs):
                         k = gpr_tpu.Gaussian(jnp.exp(logs[0]), jnp.exp(logs[1]))
                         return sparse.sparse_mll_scalar(
-                            k, Z, X + acc * 1e-30, Y, jnp.exp(logs[2])
+                            k, Z, X + acc * 1e-30, Y, jnp.exp(logs[2]),
+                            jitter=1e-4,
                         )
 
                     v, g = jax.value_and_grad(obj)(
@@ -89,7 +90,7 @@ def main():
 
             return f
 
-        t_mllg = _time_scalar_fn(make_mllg, X, Y, sigma, repeats=4)
+        t_mllg = _time_scalar_fn(make_mllg, X, Y, sigma, repeats=12, iters=5)
         # O(n m^2) flop model: Knm gram 2nmd + Woodbury inner n m^2 + chol m^3/3
         fl_fit = 2.0 * n * m * d + n * m * m + m**3 / 3.0
         out["sparse"][f"m{m}"] = {
