@@ -116,17 +116,79 @@ def _crout_sweep(S0, g: int, b: int, with_w: bool = True):
         W = jnp.where(rows == j, wrow, W)
         return S, L, W
 
+    def step2(j, carry):
+        """Fused pivot PAIR (j, j+1) — the round-5 stat2 trick applied to
+        the fleet sweep: both columns extracted in one parallel-reduce
+        stage, ONE combined rank-2 trailing update, and the two W
+        substitution rows built from parallel matvecs plus a single
+        cross term (W[j+1] needs W[j] only through L[j+1, j] * wrow1).
+        ~5-6 dependent vector stages per TWO columns vs 8."""
+        S, L, W = carry
+        j2 = j + 1
+        cm1 = cols == j
+        cm2 = cols == j2
+        # stage 1: both pivot columns of S (parallel masked reduces)
+        c1 = jnp.sum(jnp.where(cm1, S, 0.0), axis=2, keepdims=True)  # (g,b,1)
+        c2r = jnp.sum(jnp.where(cm2, S, 0.0), axis=2, keepdims=True)
+        # stage 2: scalar heads (parallel row reduces)
+        p1 = jnp.sum(jnp.where(rows == j, c1, 0.0), axis=1, keepdims=True)
+        a = jnp.sum(jnp.where(rows == j2, c1, 0.0), axis=1, keepdims=True)
+        p2r = jnp.sum(jnp.where(rows == j2, c2r, 0.0), axis=1, keepdims=True)
+        # stage 3
+        inv1 = 1.0 / jnp.maximum(p1, 0.0)
+        rd1 = lax.rsqrt(jnp.maximum(p1, 0.0))  # off the S chain
+        # stage 4: eliminate pivot j from column/pivot j+1
+        l21 = a * inv1
+        c2 = c2r - l21 * c1
+        p2 = p2r - a * a * inv1
+        # stage 5
+        inv2 = 1.0 / jnp.maximum(p2, 0.0)
+        rd2 = lax.rsqrt(jnp.maximum(p2, 0.0))
+        # stage 6: combined rank-2 trailing update (strictly below each pivot)
+        u1 = jnp.where(rows > j, c1, 0.0)
+        u2 = jnp.where(rows > j2, c2, 0.0)
+        S = S - (u1 * inv1) * u1.transpose(0, 2, 1) - (
+            u2 * inv2
+        ) * u2.transpose(0, 2, 1)
+        # L columns (off-chain emissions)
+        colL1 = jnp.where(rows >= j, c1, 0.0) * rd1
+        colL2 = jnp.where(rows >= j2, c2, 0.0) * rd2
+        L = jnp.where(cm1, colL1, jnp.where(cm2, colL2, L))
+        if not with_w:
+            return S, L, W
+        # W rows j / j+1: parallel matvecs vs W rows < j, one cross term.
+        # L rows (cols < j) come from PRIOR pairs, so both extracts and
+        # both acc reductions run in parallel.
+        lrow1 = jnp.sum(jnp.where(rows == j, L, 0.0), axis=1, keepdims=True)
+        lrow1 = jnp.where(cols < j, lrow1, 0.0)
+        lrow2 = jnp.sum(jnp.where(rows == j2, L, 0.0), axis=1, keepdims=True)
+        lrow2 = jnp.where(cols < j, lrow2, 0.0)
+        acc1 = jnp.sum(lrow1.transpose(0, 2, 1) * W, axis=1, keepdims=True)
+        acc2a = jnp.sum(lrow2.transpose(0, 2, 1) * W, axis=1, keepdims=True)
+        wrow1 = -acc1 * rd1 + jnp.where(cm1, rd1, 0.0)
+        # L[j2, j] = a * rd1 (the pair's own subdiagonal factor entry)
+        acc2 = acc2a + (a * rd1) * wrow1
+        wrow2 = -acc2 * rd2 + jnp.where(cm2, rd2, 0.0)
+        W = jnp.where(rows == j, wrow1, jnp.where(rows == j2, wrow2, W))
+        return S, L, W
+
     # python-unrolled column loop: ``b`` is static, so every column's
     # masks/selects become compile-time CONSTANTS instead of per-iteration
     # iota comparisons against a traced index (the same static-unroll that
     # cut the fused headline kernel's diag chain ~7%, round-4; here the 8
     # crout calls are 62% of the fleet batch — fleet trace anatomy).
+    # Round 5: pivot PAIRS fused (step2) — the headline kernel's stat2
+    # scheme applied to the fleet sweep.
     # Guard: unrolling 256+ masked steps into one Mosaic kernel turns a
     # large GPR_FLEET_PANEL A/B config into a multi-minute compile — keep
     # the fori_loop above the measured-win sizes.
     if b <= 128:
         carry = (S0, L0, W0)
-        for j in range(b):
+        j = 0
+        while j + 1 < b:
+            carry = step2(j, carry)
+            j += 2
+        if j < b:  # odd b: single-column tail
             carry = step(j, carry)
         _, L, W = carry
     else:
