@@ -145,7 +145,12 @@ def main():
         return fit_step
 
     t_start = time.perf_counter()
-    t_fit = _time_scalar_fn(make_fit, X, Y, sigma, repeats=3)
+    # repeats=3 is the cross-round protocol (r2..r5 numbers are all on
+    # it).  A repeats=6 chain measured SLOWER per-fit (31.1 ms vs
+    # 28.5-30.0; ~180 ms of sustained near-peak MXU per call — consistent
+    # with duty-cycle downclocking), so a longer chain is not a variance
+    # fix here; iters=4 takes one more best-of sample instead.
+    t_fit = _time_scalar_fn(make_fit, X, Y, sigma, repeats=3, iters=4)
 
     # FLOP model: Gram GEMM 2n^2 d, Cholesky n^3/3, two triangular solves 2n^2 q
     flops = 2.0 * n * n * d + n**3 / 3.0 + 2.0 * n * n * q
