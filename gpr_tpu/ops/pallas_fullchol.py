@@ -804,6 +804,12 @@ def _fused_kernel(
     def t_start(slot, kg, u):
         def si(i, _):
             full, tailc = t_cp(slot, i, kg, u)
+            if h == 1:
+                # chunk=1 (the shipping default): every chunk is a full
+                # chunk — emit the plain start, no predicated tail twin
+                # (two dead pl.when regions per loop iteration otherwise)
+                full.start()
+                return 0
 
             @pl.when(u < nfull)
             def _():
@@ -823,6 +829,9 @@ def _fused_kernel(
     def t_wait(slot, kg, u):
         def wi(i, _):
             full, tailc = t_cp(slot, i, kg, u)
+            if h == 1:
+                full.wait()
+                return 0
 
             @pl.when(u < nfull)
             def _():
@@ -889,6 +898,11 @@ def _fused_kernel(
                 S = dots(0, Z)
             else:
                 S = jax.lax.fori_loop(0, gl, dots, Z)
+
+            if h == 1:
+                # chunk=1: single full-chunk store, no predicated twin
+                p_buf[j + u] -= S[0:p]
+                return 0
 
             @pl.when(u < nfull)
             def _():
