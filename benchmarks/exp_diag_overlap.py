@@ -50,6 +50,7 @@ def main():
         "panel256": {"panel": 256},
         "stat2": {"diag_scheme": "stat2"},
         "stat2sw64": {"diag_scheme": "stat2", "sw": 64},
+        "stat2p": {"diag_scheme": "stat2p"},
     }
     names = sys.argv[1:] or list(VARIANTS)
 

@@ -331,6 +331,101 @@ def _strip_factor_static2(A, b, sw):
     return jnp.where(row_ids <= cols_b, A, 0.0)
 
 
+def _strip_factor_static2p(A, b, sw):
+    """``_strip_factor_static2`` with the pair COLUMN EXTRACTIONS
+    software-pipelined: pair k extracts pair k+1's raw columns from the
+    pre-update strip (off the serial chain, parallel with k's own
+    stages) and corrects them with k's two rank-1 terms using SCALAR
+    row entries — so pair k+1's chain starts at the reciprocal, not the
+    reduce (~4 dependent stages per pair vs stat2's 5).  Extra VPU work:
+    two column corrections + four masked scalar extracts per pair."""
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+    sub_s = jax.lax.broadcasted_iota(jnp.int32, (sw, 1), 0)
+    e_rows = jax.lax.broadcasted_iota(jnp.int32, (b, sw), 0)
+    e_cols = jax.lax.broadcasted_iota(jnp.int32, (b, sw), 1)
+    if sw % 2:
+        raise ValueError(f"_strip_factor_static2p: sw ({sw}) must be even")
+
+    for jb in range(b // sw):
+        j0 = jb * sw
+        E = (e_rows == e_cols + j0).astype(A.dtype)
+        strip = jax.lax.dot_general(
+            E, A, (((0,), (0,)), ((), ())), preferred_element_type=A.dtype,
+            precision=_HI,
+        )  # (sw, b)
+        U_acc = jnp.zeros_like(strip)
+        carried = None  # corrected (c1, c2raw) for the current pair
+        for r in range(0, sw, 2):
+            j, j2 = j0 + r, j0 + r + 1
+            one1 = (lane_s == j).astype(A.dtype)
+            one2 = (lane_s == j2).astype(A.dtype)
+            m1 = (lane_s >= j).astype(A.dtype)
+            m2 = (lane_s >= j2).astype(A.dtype)
+            below = (sub_s > r + 1).astype(A.dtype)
+            if carried is None:
+                c1 = jnp.sum(strip * one1, axis=1, keepdims=True)
+                c2raw = jnp.sum(strip * one2, axis=1, keepdims=True)
+            else:
+                c1, c2raw = carried
+            p1 = c1[r : r + 1, :]
+            a = c1[r + 1 : r + 2, :]
+            p2raw = c2raw[r + 1 : r + 2, :]
+            row1 = strip[r : r + 1, :]
+            row2 = strip[r + 1 : r + 2, :]
+            inv1 = 1.0 / p1
+            l21 = a * inv1
+            p2 = p2raw - a * a * inv1
+            row2e = row2 - l21 * row1
+            c2 = c2raw - l21 * c1
+            inv2 = 1.0 / p2
+            w1 = c1 * inv1
+            w2 = c2 * inv2
+            if r + 2 < sw:
+                jn1, jn2 = j0 + r + 2, j0 + r + 3
+                on1 = (lane_s == jn1).astype(A.dtype)
+                on2 = (lane_s == jn2).astype(A.dtype)
+                # raw next-pair columns from the PRE-update strip: these
+                # reduces depend only on the previous pair's update, so
+                # they overlap this pair's serial stages
+                n1raw = jnp.sum(strip * on1, axis=1, keepdims=True)
+                n2raw = jnp.sum(strip * on2, axis=1, keepdims=True)
+                # this pair's rank-2 contribution to those columns via
+                # SCALAR row entries (static (1,1) lane slices)
+                r1a = row1[:, jn1 : jn1 + 1]
+                r1b = row1[:, jn2 : jn2 + 1]
+                r2a = row2e[:, jn1 : jn1 + 1]
+                r2b = row2e[:, jn2 : jn2 + 1]
+                nb_mask = (sub_s > r + 1).astype(A.dtype)
+                carried = (
+                    n1raw - nb_mask * (w1 * r1a + w2 * r2a),
+                    n2raw - nb_mask * (w1 * r1b + w2 * r2b),
+                )
+            t = w1 * (row1 * m1) + w2 * (row2e * m2)
+            strip = strip - below * t
+            u1 = (row1 * m1) * jax.lax.rsqrt(p1)
+            u2 = (row2e * m2) * jax.lax.rsqrt(p2)
+            U_acc = (
+                U_acc
+                + u1 * (sub_s == r).astype(A.dtype)
+                + u2 * (sub_s == r + 1).astype(A.dtype)
+            )
+        strip = U_acc
+        in_strip = jnp.logical_and(row_ids >= j0, row_ids < j0 + sw)
+        strip_full = jax.lax.dot_general(
+            E, strip, (((1,), (0,)), ((), ())), preferred_element_type=A.dtype,
+            precision=_HI,
+        )
+        A = jnp.where(in_strip, strip_full, A)
+        upd = jax.lax.dot_general(
+            strip, strip, (((0,), (0,)), ((), ())),
+            preferred_element_type=A.dtype, precision=_HI,
+        )
+        A = jnp.where(row_ids >= j0 + sw, A - upd, A)
+    cols_b = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    return jnp.where(row_ids <= cols_b, A, 0.0)
+
+
 def _head_strip_factor(A, b, sw):
     """U = chol(A)^T via head-GEMM strips: only the (sw, sw) HEAD of each
     strip is eliminated serially — per-pivot lane reductions span sw=16
@@ -540,6 +635,11 @@ def _factor_diag_wi(D, p, b, sw, scheme="aug"):
             # stat with fused pivot PAIRS: one rank-2 elimination per two
             # pivots (~5-6 dependent stages per pair vs 8)
             U = _strip_factor_static2(_mirror_lower(S, b), b, sw)
+            V = _triu_inv_rec(U, b)
+        elif scheme == "stat2p":
+            # stat2 with pipelined pair-column extraction (reduces off
+            # the serial chain; ~4 stages per pair)
+            U = _strip_factor_static2p(_mirror_lower(S, b), b, sw)
             V = _triu_inv_rec(U, b)
         elif scheme == "head":
             # serial elimination confined to (sw, sw) heads; wide strips
