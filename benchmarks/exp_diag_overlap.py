@@ -51,6 +51,7 @@ def main():
         "stat2": {"diag_scheme": "stat2"},
         "stat2sw64": {"diag_scheme": "stat2", "sw": 64},
         "stat2p": {"diag_scheme": "stat2p"},
+        "withw": {"return_winv": True},
     }
     names = sys.argv[1:] or list(VARIANTS)
 
@@ -83,7 +84,11 @@ def main():
                         X + out * 1e-30, 8.0, 1.0, 1.0, 0.01,
                         form="gaussian", interpret=interp, **kw,
                     )
-                    out = jnp.sum(L[-1])
+                    if isinstance(L, tuple):  # return_winv variants
+                        L, W = L
+                        out = jnp.sum(L[-1]) + W[0, 0, 0] * 1e-30
+                    else:
+                        out = jnp.sum(L[-1])
                 return out
 
             return f
