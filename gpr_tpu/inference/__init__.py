@@ -1,3 +1,13 @@
-"""Hyperparameter inference: MAP/MLE optimizers, HMC, priors, utilities."""
+"""Hyperparameter inference: MAP/MLE optimizers, HMC/NUTS samplers,
+mean-field ADVI, priors, utilities."""
 
-from . import hmc, nuts, optimize, period, predictive, prior_utils, priors  # noqa: F401
+from . import (  # noqa: F401
+    advi,
+    hmc,
+    nuts,
+    optimize,
+    period,
+    predictive,
+    prior_utils,
+    priors,
+)

@@ -23,6 +23,7 @@ MODULES = [
     "gpr_tpu.gp.batched",
     "gpr_tpu.inference.priors", "gpr_tpu.inference.optimize",
     "gpr_tpu.inference.hmc", "gpr_tpu.inference.nuts",
+    "gpr_tpu.inference.advi",
     "gpr_tpu.inference.predictive", "gpr_tpu.inference.period",
     "gpr_tpu.inference.prior_utils",
     "gpr_tpu.parallel.sharded_gram", "gpr_tpu.parallel.sharded_hmc",
