@@ -137,9 +137,11 @@ print("PROBE_OK")
     # panel=256 (the round-5 arbitrary-n path; reference-realistic scales
     # n=2500/3773 dispatch through this specialization class)
     "public_fit_padded": _COMMON + """
+import os
 from gpr_tpu.gp import exact
 import gpr_tpu
-n, d, q = 1200, 6, 2
+n = int(os.environ.get("GPR_SMOKE_PAD_N", 1200))  # 700 covers the
+d, q = 6, 2                                        # small-n gate class
 rng = np.random.default_rng(9)
 X = rng.standard_normal((n, d)).astype(np.float32)
 Y = rng.standard_normal((n, q)).astype(np.float32)

@@ -69,9 +69,13 @@ def main():
         return one
 
     def twopass(Xr, Yr):
+        # tril only when the blocked factorization (potrf('L') contract)
+        # will consume it — a small-n XLA-potrf dispatch reads the FULL
+        # matrix and a tril gram would feed it garbage uppers
+        tril = n >= linalg._BLOCKED_MIN_N
         K = pallas_gram.gram_pallas(
             Xr, Xr, sg, sc, 1.0, diag=noise, form="gaussian",
-            interpret=interp, tril=True,
+            interpret=interp, tril=tril,
         )
         L, _ = linalg.safe_cholesky(K)
         return L, linalg.cho_solve(L, Yr)

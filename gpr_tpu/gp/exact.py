@@ -386,7 +386,7 @@ def fit(
             if (
                 form in pallas_fullchol._GRAM_FORMS
                 and X.dtype == jnp.float32
-                and n >= 1024
+                and n >= 512
                 and jax.default_backend() == "tpu"
                 and linalg._chol_schedule() == "fused"
                 and os.environ.get("GPR_FIT_SCHEDULE", "fused") == "fused"
@@ -401,7 +401,10 @@ def fit(
                 # trades pad flops ((n_pad/n)^3 - 1) against L-tile
                 # stream volume (~n^3/(6*panel) bytes) — measured on v5e
                 # (BENCHMARKS.md round 5): 512-aligned n keeps panel=512,
-                # everything else pads to a 256 multiple.
+                # everything else pads to a 256 multiple.  Gate n >= 512:
+                # at n=700 the fused path measured 0.11 ms vs the
+                # twopass fallback's 1.43 (small-n fits are
+                # dispatch-bound; ONE kernel wins outright).
                 panel = 512 if n % 512 == 0 else 256
                 n_pad = -(-n // panel) * panel
                 L, W, _ = pallas_fullchol.safe_gram_cholesky_fused(

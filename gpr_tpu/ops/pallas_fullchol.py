@@ -893,6 +893,11 @@ def _fused_kernel(
             t_buf.at[slot, i],
             sem_t.at[slot],
         )
+        if h == 1:
+            # chunk=1: no tail chunks exist — do not even BUILD the tail
+            # descriptor (an unused AsyncCopyDescriptor logs a runtime
+            # error)
+            return full, None
         off = j * p + (nfull * h + (u - nfull)) * p
         tailc = pltpu.make_async_copy(
             s_hbm.at[k, pl.ds(off, p), :],
